@@ -1,0 +1,81 @@
+"""SparkSession builder with scale-oriented defaults.
+
+Config rationale (SURVEY.md §4):
+  * AQE on (runtime coalescing + skew-join splitting) — the severity/source
+    key space is deliberately skewed (hot facility Local7).
+  * shuffle.partitions sized to cores for local mode; a real cluster run
+    overrides via spark-submit --conf.
+  * Arrow batch size raised: the parse operator's cost is per-batch regex
+    machinery, so bigger batches amortize the JVM<->Python crossing.
+  * session timezone pinned UTC so TimestampType comparisons against the
+    DuckDB oracle are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "syslog_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 32768,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+        shuffle_partitions = int(n) if n.isdigit() else 32
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "268435456")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make syslog_spark importable on executor Python workers.
+
+    Local equivalent of `spark-submit --py-files syslog_spark.zip` (the
+    deployment mode named in the north star): zip the package and
+    addPyFile it, so sessions built from any CWD work.
+    """
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    stamp = max(
+        (os.path.getmtime(os.path.join(dp, f))
+         for dp, _, fs in os.walk(pkg_dir) for f in fs if f.endswith(".py")),
+        default=0,
+    )
+    zpath = os.path.join(
+        "/tmp", f"syslog_spark_pkg_{int(stamp)}_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dp, _, fs in os.walk(pkg_dir):
+                for f in fs:
+                    if f.endswith(".py"):
+                        full = os.path.join(dp, f)
+                        z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)

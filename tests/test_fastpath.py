@@ -1,0 +1,115 @@
+"""Differential tests: vectorized fast path + oracle fallback vs the oracle.
+
+The architecture's correctness claim is "fast-path acceptance implies
+oracle-equal output" — verified here on the golden corpus and a seeded
+mutation fuzz over all three formats.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from syslog_spark import oracle as O
+from syslog_spark.operators import fastpath as FP
+from syslog_spark.operators import parse as P
+from syslog_spark.sources import datagen as D
+
+Y, TZ = 2024, 0
+NULL = FP._NULL_INT
+
+_CMP_INT = (
+    "priority", "version", "ts_micros", "ts_nanos", "tz_offset_seconds",
+    "error_column", "failed_stage",
+)
+_CMP_STR = ("hostname", "appname", "proc_id", "msg_id", "message", "error_msg")
+
+
+def batch_rows(lines, fmts):
+    full = P._parse_lines_batch(pd.Series(lines), pd.Series(fmts), Y, TZ)
+    out = []
+    for i in range(len(lines)):
+        row = {k: (None if full[k][i] == NULL else int(full[k][i])) for k in _CMP_INT}
+        row.update({k: full[k][i] for k in _CMP_STR})
+        row["data"] = full["data"][i]
+        out.append(row)
+    return out
+
+
+def oracle_row(line, fmt):
+    row = O.to_row(O.parse_message(line, fmt, Y, TZ))
+    return {k: row[k] for k in (*_CMP_INT, *_CMP_STR, "data")}
+
+
+def test_corpus_matches_oracle():
+    cases = D.corpus()
+    got = batch_rows([l for _, _, l in cases], [f for _, f, _ in cases])
+    for (name, fmt, line), g in zip(cases, got):
+        assert g == oracle_row(line, fmt), name
+
+
+def test_fastpath_accepts_wellformed():
+    """The headline corpus cases must take the vectorized path (perf gate)."""
+    cases = [(n, f, l) for n, f, l in D.corpus() if not n.startswith("err/")]
+    for fmt in ("rfc5424", "nginx_access", "nginx_error"):
+        sub = [(n, l) for n, f, l in cases if f == fmt]
+        res = FP.FAST_PARSERS[fmt](
+            pd.Series([l for _, l in sub]), Y, TZ
+        )
+        slow_names = [sub[i][0] for i in np.flatnonzero(res["slow"])]
+        # only grammar-corner cases may fall back
+        allowed = {
+            "rfc5424/empty-sd-then-msg", "rfc5424/bom-msg",
+            "nginx_error/no-comma-msg", "nginx_error/dangling-pair",
+        }
+        assert set(slow_names) <= allowed, slow_names
+
+
+@pytest.mark.parametrize("seed", [42, 7, 123, 20240816])
+def test_fuzz_differential(seed):
+    rng = random.Random(seed)
+    base = [l for _, _, l in D.corpus()]
+    chars = list(' <>[]"=:,-\\abc019\tJanOct+.T') + ["﻿"]
+    fmts_all = ["rfc5424", "nginx_access", "nginx_error"]
+
+    def mutate(s):
+        s = list(s)
+        for _ in range(rng.randint(1, 4)):
+            op = rng.randint(0, 2)
+            if not s:
+                break
+            i = rng.randrange(len(s))
+            if op == 0:
+                s[i] = rng.choice(chars)
+            elif op == 1:
+                s.insert(i, rng.choice(chars))
+            else:
+                del s[i]
+        return "".join(s)
+
+    lines, fmts = [], []
+    for _ in range(3000):
+        if rng.random() < 0.8:
+            lines.append(mutate(rng.choice(base)))
+        else:
+            lines.append(
+                "".join(rng.choice(chars) for _ in range(rng.randint(0, 60)))
+            )
+        fmts.append(rng.choice(fmts_all))
+
+    got = batch_rows(lines, fmts)
+    for line, fmt, g in zip(lines, fmts, got):
+        assert g == oracle_row(line, fmt), repr(line)
+
+
+def test_detokenize_roundtrip():
+    cases = D.corpus()
+    batch = D.corpus_token_batch()
+    arr = P.detokenize_array(batch.column("tokens"))
+    assert arr.to_pylist() == [l for _, _, l in cases]
+    assert batch.column("n_tok").to_pylist() == [
+        len(l.encode()) for _, _, l in cases
+    ]
