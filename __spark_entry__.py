@@ -1,38 +1,726 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every SURVEY.md §2 operator family over the driver's
+testdata tables; ``oracle_sql()`` gives the DuckDB-runnable ANSI mirror.
+The parse queries CONSTRUCT syslog lines from table columns in SQL, parse
+them with the real engine (syslog_spark.operators.parse), and the oracle
+recomputes the expected fields directly from the same construction — a
+ground-truth check of the parser through the driver's hash gate.
+
+Non-SQL-expressible ops (minhash-LSH near-dup, simhash banding, LSH ANN)
+are exposed rows-only (no oracle entry), as the contract allows.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from syslog_spark import constants as C  # noqa: E402
+from syslog_spark.functions.priority import (  # noqa: E402
+    facility_name,
+    facility_of,
+    is_valid_facility,
+    is_valid_priority,
+    is_valid_severity,
+    severity_name,
+    severity_of,
+    tenant_of,
+)
+from syslog_spark.operators.parse import parse_lines, parse_tokens  # noqa: E402
+from syslog_spark.operators import textstats as TS  # noqa: E402
+from syslog_spark.operators.serialize import with_canonical  # noqa: E402
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+# --- SQL construction of syslog lines (shared Spark/DuckDB shapes) -------------
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+_RFC_LINE_SPARK = (
+    "concat('<', cast(pmod(event_id, 192) as int), "
+    "'>1 2024-01-01T00:00:00+00:00 host', cast(pmod(user_id, 50) as int), "
+    "' ', event_type, ' p', cast(pmod(event_id, 97) as int), "
+    "' m', cast(pmod(event_id, 13) as int), "
+    "' [meta k=\"', event_type, '\"] ev', event_id)"
+)
+_RFC_LINE_DUCK = (
+    "'<' || (event_id % 192) || '>1 2024-01-01T00:00:00+00:00 host' || "
+    "(user_id % 50) || ' ' || event_type || ' p' || (event_id % 97) || "
+    "' m' || (event_id % 13) || ' [meta k=\"' || event_type || '\"] ev' "
+    "|| event_id"
+)
+
+
+def _rfc_lines_df(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.expr(_RFC_LINE_SPARK).alias("line"),
+        F.lit("rfc5424").alias("source"),
+    )
+
+
+def _parse_rfc(spark, sf_dir):
+    return parse_lines(_rfc_lines_df(spark, sf_dir))
+
+
+# --- queries -------------------------------------------------------------------
+
+
+def q_priority_decode(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pri = F.pmod(F.col("event_id"), F.lit(256)).cast("int")
+    return ev.select(
+        F.col("event_id"),
+        pri.cast("bigint").alias("pri"),
+        facility_of(pri).cast("bigint").alias("facility"),
+        severity_of(pri).cast("bigint").alias("severity"),
+        is_valid_priority(pri).alias("pri_valid"),
+        is_valid_facility(facility_of(pri)).alias("fac_valid"),
+        is_valid_severity(severity_of(pri)).alias("sev_valid"),
+        (facility_of(pri).cast("int") * 8 + severity_of(pri).cast("int"))
+        .cast("bigint")
+        .alias("pri_rebuilt"),
+    )
+
+
+def q_priority_names(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pri = F.pmod(F.col("event_id"), F.lit(256)).cast("int")
+    return ev.select(
+        "event_id",
+        facility_name(facility_of(pri)).alias("facility_name"),
+        severity_name(severity_of(pri)).alias("severity_name"),
+    )
+
+
+def q_enrich_tenant(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("source"), tenant_of("source").alias("tenant")
+    )
+
+
+def q_parse_rfc5424_fields(spark, sf_dir):
+    p = _parse_rfc(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.col("priority").cast("bigint").alias("priority"),
+        F.col("facility").cast("bigint").alias("facility"),
+        F.col("severity").cast("bigint").alias("severity"),
+        F.col("version").cast("bigint").alias("version"),
+        "hostname", "appname", "proc_id", "msg_id", "message",
+    )
+
+
+def q_parse_rfc5424_data(spark, sf_dir):
+    p = _parse_rfc(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.col("data")[0]["sd_id"].alias("sd_id"),
+        F.col("data")[0]["params"][0]["key"].alias("param_key"),
+        F.col("data")[0]["params"][0]["value"].alias("param_value"),
+        F.size("data").cast("bigint").alias("n_blocks"),
+    )
+
+
+def q_parse_timestamps(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    lines = o.select(
+        F.col("o_orderkey").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("<1>1 "),
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit("+00:00 h a p m -"),
+        ).alias("line"),
+        F.lit("rfc5424").alias("source"),
+    )
+    p = parse_lines(lines)
+    return p.select(
+        "doc_id",
+        F.col("ts_micros").alias("ts_micros"),
+        F.col("tz_offset_seconds").cast("bigint").alias("tz_offset_seconds"),
+    )
+
+
+def q_parse_nginx_access(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    line = (
+        "concat('<190>Oct  5 12:05:15 host', cast(pmod(user_id, 50) as int), "
+        "' nginx: [request status=\"', cast(pmod(event_id, 600) as int), "
+        "'\" bytes=\"', cast(pmod(event_id, 5000) as int), '\"]')"
+    )
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.expr(line).alias("line"),
+        F.lit("nginx_access").alias("source"),
+    )
+    p = parse_lines(lines)
+    params = F.col("data")[0]["params"]
+    return p.select(
+        "doc_id",
+        F.col("priority").cast("bigint").alias("priority"),
+        "hostname",
+        "appname",
+        F.col("data")[0]["sd_id"].alias("sd_id"),
+        F.filter(params, lambda x: x["key"] == F.lit("status"))[0]["value"]
+        .alias("status"),
+        F.filter(params, lambda x: x["key"] == F.lit("bytes"))[0]["value"]
+        .alias("bytes"),
+        F.unix_micros("ts").alias("ts_micros"),
+    )
+
+
+def q_parse_nginx_error(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    line = (
+        "concat('<187>Jan  2 03:04:05 h', cast(pmod(user_id, 9) as int), "
+        "' nginx: 2024/01/02 03:04:05 [error] fail ev', event_id, "
+        "', client: 10.0.0.', cast(pmod(event_id, 255) as int), "
+        "', server: srv', cast(pmod(event_id, 7) as int), "
+        "', request: \"GET /', event_type, ' HTTP/1.1\"')"
+    )
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.expr(line).alias("line"),
+        F.lit("nginx_error").alias("source"),
+    )
+    p = parse_lines(lines)
+    params = F.col("data")[0]["params"]
+
+    def param(k):
+        return F.filter(params, lambda x: x["key"] == F.lit(k))[0]["value"]
+
+    return p.select(
+        "doc_id", "hostname", "appname", "message",
+        param("client").alias("client"),
+        param("server").alias("server"),
+        param("request").alias("request"),
+    )
+
+
+def q_serialize_roundtrip(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    line = (
+        "concat('<', cast(pmod(event_id, 192) as int), "
+        "'>1 2024-03-01T12:30:45+02:00 host', cast(pmod(user_id, 50) as int), "
+        "' app p', cast(pmod(event_id, 97) as int), "
+        "' m [meta k=\"', event_type, '\"] ev', event_id)"
+    )
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.expr(line).alias("line"),
+        F.lit("rfc5424").alias("source"),
+    )
+    p = with_canonical(parse_lines(lines, keep_raw=True))
+    return p.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("canonical") == F.col("raw"), 1)).alias(
+            "n_roundtrip"
+        ),
+    )
+
+
+def q_error_sink(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    line = (
+        "case when event_id % 7 = 0 then concat('<> ev', event_id) "
+        f"else {_RFC_LINE_SPARK} end"
+    )
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.expr(line).alias("line"),
+        F.lit("rfc5424").alias("source"),
+    )
+    p = parse_lines(lines)
+    return p.select(
+        "doc_id", "error_msg",
+        F.col("error_column").cast("bigint").alias("error_column"),
+    )
+
+
+def q_route_counts(spark, sf_dir):
+    p = _parse_rfc(spark, sf_dir)
+    return (
+        p.filter(F.col("error_msg").isNull())
+        .groupBy(F.col("severity").cast("bigint").alias("severity"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+
+
+def q_severity_rollup(spark, sf_dir):
+    from syslog_spark.operators.enrich import enrich
+
+    p = enrich(_parse_rfc(spark, sf_dir))
+    return (
+        p.filter(F.col("error_msg").isNull())
+        .groupBy(
+            F.col("severity").cast("bigint").alias("severity"),
+            "severity_name",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct("hostname").alias("distinct_hostnames"),
+        )
+    )
+
+
+def q_agg_per_sink(spark, sf_dir):
+    p = _parse_rfc(spark, sf_dir)
+    return (
+        p.filter(F.col("error_msg").isNull())
+        .groupBy(F.col("severity").cast("bigint").alias("severity"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct("hostname").alias("distinct_hostnames"),
+            F.min("n_tok").cast("bigint").alias("min_len"),
+            F.max("n_tok").cast("bigint").alias("max_len"),
+            F.sum("n_tok").cast("bigint").alias("sum_len"),
+        )
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", 0.5), 4).alias("p50"),
+        F.round(F.percentile("n_chars", 0.95), 4).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_window_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def q_join_broadcast(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from syslog_spark.operators.dedup import exact_duplicate_groups
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return exact_duplicate_groups(docs).select(
+        "digest", F.col("n_docs").cast("bigint").alias("n_docs")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TS.fingerprint_md5("text").alias("fingerprint")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.whitespace_token_count("text").cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_q"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.stopword_count("text").cast("bigint").alias("stopwords"),
+        TS.char_count(F.col("text"), ".").cast("bigint").alias("dots"),
+        F.round(TS.stopword_ratio("text"), 4).alias("stopword_ratio"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.lang_id("text").alias("lang_pred"))
+
+
+def q_ann_brute_force(spark, sf_dir):
+    from syslog_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(emb, queries, k=5)
+    return top.select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from syslog_spark.operators.similarity import cosine, _vec
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.pmod(F.col("vec_id"), F.lit(10)) == 0
+    )
+    a = emb.select(F.col("vec_id").alias("a"), _vec("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), _vec("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") > 0.5)
+        .select("a", "b")
+    )
+
+
+# rows-only (no SQL-equivalent oracle): LSH internals use xxhash64/planes
+def q_minhash_neardup(spark, sf_dir):
+    from syslog_spark.operators.dedup import near_duplicates_minhash
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return near_duplicates_minhash(docs, threshold=0.5)
+
+
+def q_simhash_neardup(spark, sf_dir):
+    from syslog_spark.operators.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    return simhash_near_dups(docs, max_hamming=8)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from syslog_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=dim, k=5)
+
+
+def q_pipeline_smoke(spark, sf_dir):
+    """Full tokens->parse->enrich path on a synthesized token table."""
+    from syslog_spark.operators.enrich import enrich
+    from syslog_spark.sources.datagen import generate_tokens_df
+
+    tokens = generate_tokens_df(spark, 5000, partitions=8)
+    p = enrich(parse_tokens(tokens))
+    return (
+        p.groupBy(
+            F.col("severity").cast("bigint").alias("severity"),
+            "severity_name",
+        )
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+
+
+# --- oracle SQL ----------------------------------------------------------------
+
+
+def _case_sql(col: str, names, invalid="Invalid") -> str:
+    whens = " ".join(
+        f"WHEN {col} = {i} THEN '{n}'" for i, n in enumerate(names)
+    )
+    return f"CASE {whens} ELSE '{invalid}' END"
+
+
+_TENANT_DUCK = (
+    "'tenant_' || ((ascii(substring(source, 1, 1)) + length(source)) % 4)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fac_case = _case_sql("((event_id % 256) // 8)", C.FACILITY_NAMES)
+    sev_case = _case_sql("((event_id % 256) % 8)", C.SEVERITY_NAMES)
+    sevname_case = _case_sql("((event_id % 192) % 8)", C.SEVERITY_NAMES)
+    return {
+        "priority_decode": f"""
+            SELECT event_id,
+                   event_id % 256 AS pri,
+                   (event_id % 256) // 8 AS facility,
+                   (event_id % 256) % 8 AS severity,
+                   (event_id % 256) <= 191 AS pri_valid,
+                   (event_id % 256) // 8 <= 23 AS fac_valid,
+                   TRUE AS sev_valid,
+                   ((event_id % 256) // 8) * 8 + (event_id % 256) % 8
+                       AS pri_rebuilt
+            FROM events""",
+        "priority_names": f"""
+            SELECT event_id, {fac_case} AS facility_name,
+                   {sev_case} AS severity_name
+            FROM events""",
+        "enrich_tenant": f"""
+            SELECT doc_id, source, {_TENANT_DUCK} AS tenant FROM documents""",
+        "parse_rfc5424_fields": """
+            SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                   event_id % 192 AS priority,
+                   (event_id % 192) // 8 AS facility,
+                   (event_id % 192) % 8 AS severity,
+                   1 AS version,
+                   'host' || (user_id % 50) AS hostname,
+                   event_type AS appname,
+                   'p' || (event_id % 97) AS proc_id,
+                   'm' || (event_id % 13) AS msg_id,
+                   'ev' || event_id AS message
+            FROM events""",
+        "parse_rfc5424_data": """
+            SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                   'meta' AS sd_id, 'k' AS param_key,
+                   event_type AS param_value, 1 AS n_blocks
+            FROM events""",
+        "parse_timestamps": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+                   epoch_us(o_orderdate) AS ts_micros,
+                   0 AS tz_offset_seconds
+            FROM orders""",
+        "parse_nginx_access": """
+            SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                   190 AS priority,
+                   'host' || (user_id % 50) AS hostname,
+                   'nginx' AS appname,
+                   'request' AS sd_id,
+                   CAST(event_id % 600 AS VARCHAR) AS status,
+                   CAST(event_id % 5000 AS VARCHAR) AS bytes,
+                   epoch_us(TIMESTAMP '2024-10-05 12:05:15') AS ts_micros
+            FROM events""",
+        "parse_nginx_error": """
+            SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                   'h' || (user_id % 9) AS hostname,
+                   'nginx' AS appname,
+                   'fail ev' || event_id AS message,
+                   '10.0.0.' || (event_id % 255) AS client,
+                   'srv' || (event_id % 7) AS server,
+                   'GET /' || event_type || ' HTTP/1.1' AS request
+            FROM events""",
+        "serialize_roundtrip": """
+            SELECT count(*) AS n_rows, count(*) AS n_roundtrip FROM events""",
+        "error_sink": """
+            SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                   CASE WHEN event_id % 7 = 0 THEN
+                     'syslog: format incorrect: priority can''t be empty, at column 2'
+                   END AS error_msg,
+                   CASE WHEN event_id % 7 = 0 THEN 2 END AS error_column
+            FROM events""",
+        "route_counts": """
+            SELECT (event_id % 192) % 8 AS severity, count(*) AS rows
+            FROM events GROUP BY 1""",
+        "severity_rollup": f"""
+            SELECT (event_id % 192) % 8 AS severity,
+                   {sevname_case} AS severity_name,
+                   count(*) AS rows,
+                   count(DISTINCT 'host' || (user_id % 50))
+                       AS distinct_hostnames
+            FROM events GROUP BY 1, 2""",
+        "agg_per_sink": f"""
+            SELECT (event_id % 192) % 8 AS severity,
+                   count(*) AS rows,
+                   count(DISTINCT 'host' || (user_id % 50))
+                       AS distinct_hostnames,
+                   min(length({_RFC_LINE_DUCK})) AS min_len,
+                   max(length({_RFC_LINE_DUCK})) AS max_len,
+                   sum(length({_RFC_LINE_DUCK})) AS sum_len
+            FROM events GROUP BY 1""",
+        "percentiles": """
+            SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.95), 4) AS p95,
+                   count(*) AS n
+            FROM documents GROUP BY lang""",
+        "distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
+        "window_topk": """
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders QUALIFY rank <= 3""",
+        "join_broadcast": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "dedup_exact": """
+            SELECT md5(text) AS digest, count(*) AS n_docs
+            FROM documents GROUP BY 1 HAVING count(*) > 1""",
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fingerprint
+            FROM documents""",
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                       AS n_tokens,
+                   length(text) AS n_chars_q
+            FROM documents""",
+        "quality": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x IN ('the','a','of','and','to','in','is','it',
+                                  'that','for'))) AS stopwords,
+                   length(text) - length(replace(text, '.', '')) AS dots,
+                   round(len(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x IN ('the','a','of','and','to','in','is','it',
+                                  'that','for'))) * 1.0
+                     / greatest(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END,
+                         1), 4) AS stopword_ratio
+            FROM documents""",
+        "lang_id": _LANG_ID_DUCK,
+        "ann_brute_force": """
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(
+                       CAST(c.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id < 5
+            QUALIFY rank <= 5""",
+        "embedding_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+              AND a.vec_id < b.vec_id
+              AND list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])) > 0.5""",
+    }
+
+
+_LANG_ID_DUCK = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(ws, x -> x IN ('the','and','of','is','that'))) AS s_en,
+    len(list_filter(ws, x -> x IN ('der','die','und','ist','nicht'))) AS s_de,
+    len(list_filter(ws, x -> x IN ('le','la','et','est','les'))) AS s_fr,
+    len(list_filter(ws, x -> x IN ('el','la','que','de','es'))) AS s_es
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM s"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "priority_decode": q_priority_decode,
+        "priority_names": q_priority_names,
+        "enrich_tenant": q_enrich_tenant,
+        "parse_rfc5424_fields": q_parse_rfc5424_fields,
+        "parse_rfc5424_data": q_parse_rfc5424_data,
+        "parse_timestamps": q_parse_timestamps,
+        "parse_nginx_access": q_parse_nginx_access,
+        "parse_nginx_error": q_parse_nginx_error,
+        "serialize_roundtrip": q_serialize_roundtrip,
+        "error_sink": q_error_sink,
+        "route_counts": q_route_counts,
+        "severity_rollup": q_severity_rollup,
+        "agg_per_sink": q_agg_per_sink,
+        "percentiles": q_percentiles,
+        "distinct_users": q_distinct_users,
+        "window_topk": q_window_topk,
+        "join_broadcast": q_join_broadcast,
+        "tpch_q1": q_tpch_q1,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "ann_brute_force": q_ann_brute_force,
+        "embedding_neardup": q_embedding_neardup,
+        # rows-only checks (non-SQL-expressible internals)
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "ann_lsh": q_ann_lsh,
+        "pipeline_smoke": q_pipeline_smoke,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: construct RFC 5424 lines from sf0.001 events, run the full
+    parse -> enrich -> severity rollup path."""
+    from syslog_spark.operators.enrich import enrich
+
+    sf_dir = "/root/testdata/sf0.001"
+    p = enrich(_parse_rfc(spark, sf_dir))
+    return (
+        p.filter(F.col("error_msg").isNull())
+        .groupBy("severity", "severity_name", "facility_name")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct("hostname").alias("distinct_hostnames"),
+        )
+        .orderBy("severity")
+    )

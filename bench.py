@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Two phases:
+
+  A. Scaling evidence (BASELINE.json north rule): the full pipeline
+     (read tokens -> parse -> enrich -> route -> aggregate) on the SAME
+     deterministic synthetic token table at local[8] and local[32];
+     reports rows/sec at both and scaling efficiency
+     = (rate32 / rate8) / 4. Written to BENCH/BASELINE.md.
+
+  B. Headline queries from __spark_entry__.queries() at
+     $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+     local[$SPARK_GRAFT_CPUS]; per-query wall seconds. Materialization is
+     forced with the noop sink (count() could prune work).
+
+Prints ONE JSON line to stdout (everything else -> stderr).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+N_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", str(int(10_000_000 * SF))))
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+
+HEADLINE = [
+    "parse_rfc5424_fields",
+    "parse_nginx_access",
+    "parse_nginx_error",
+    "serialize_roundtrip",
+    "error_sink",
+    "route_counts",
+    "severity_rollup",
+    "agg_per_sink",
+    "window_topk",
+    "join_broadcast",
+    "tpch_q1",
+    "dedup_exact",
+    "fingerprint",
+    "token_counts",
+    "lang_id",
+    "ann_brute_force",
+    "pipeline_smoke",
+]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def session(cores: int):
+    from syslog_spark.session import build_session
+
+    return build_session(
+        app_name=f"bench_local{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        },
+    )
+
+
+def ensure_tokens(path: str, n_rows: int) -> None:
+    from syslog_spark.sources.datagen import write_token_table
+
+    marker = os.path.join(path, "_ROWS")
+    if os.path.exists(marker) and open(marker).read().strip() == str(n_rows):
+        log(f"reusing token table {path} ({n_rows} rows)")
+        return
+    shutil.rmtree(path, ignore_errors=True)
+    spark = session(CPUS)
+    t0 = time.monotonic()
+    write_token_table(spark, path, n_rows, partitions=max(64, CPUS * 2))
+    log(f"generated {n_rows} rows in {time.monotonic() - t0:.1f}s")
+    spark.stop()
+    os.makedirs(path, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(str(n_rows))
+
+
+def run_pipeline_at(cores: int, tokens_path: str, n_rows: int) -> dict:
+    from syslog_spark.plans.pipeline import run_pipeline
+
+    spark = session(cores)
+    out = f"/tmp/bench_out_{cores}"
+    shutil.rmtree(out, ignore_errors=True)
+    res = run_pipeline(spark, tokens_path, out)
+    spark.stop()
+    res["cores"] = cores
+    log(f"local[{cores}]: {res['rows_per_sec']:.0f} rows/s "
+        f"({res['wall_seconds']:.1f}s, {res['routed_rows']} routed, "
+        f"{res['error_rows']} errors)")
+    return res
+
+
+def run_headline(sf_dir: str) -> dict:
+    import __spark_entry__ as E
+
+    spark = session(CPUS)
+    qs = E.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+        log(f"  {name:24s} {times[name]:7.2f}s")
+    spark.stop()
+    return times
+
+
+def write_baseline_md(p8: dict, p32: dict, eff: float, times: dict):
+    os.makedirs("BENCH", exist_ok=True)
+    qlines = "\n".join(f"| {k} | {v:.2f} |" for k, v in times.items())
+    md = f"""# BENCH baseline — syslog_spark
+
+## Scaling evidence (north rule: efficiency >= 0.8 from N to 4N)
+
+Same job (read tokens -> parse -> enrich -> route -> aggregate), same
+deterministic input ({p8['total_rows']} rows), two parallelism levels in
+this sandbox (no real cluster; local[N] = N executor threads):
+
+| config | wall s | rows/sec |
+| --- | --- | --- |
+| local[8]  | {p8['wall_seconds']:.1f} | {p8['rows_per_sec']:.0f} |
+| local[32] | {p32['wall_seconds']:.1f} | {p32['rows_per_sec']:.0f} |
+
+**Scaling efficiency (rate32/rate8)/4 = {eff:.3f}**
+
+## Headline query times (sf dir {SF_DIR}, local[{CPUS}])
+
+| query | seconds |
+| --- | --- |
+{qlines}
+"""
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+
+
+def main():
+    tokens_path = os.path.join(BENCH_DIR, f"tokens_{N_ROWS}")
+    ensure_tokens(tokens_path, N_ROWS)
+
+    p8 = run_pipeline_at(8, tokens_path, N_ROWS)
+    p32 = run_pipeline_at(32, tokens_path, N_ROWS)
+    for p in (p8, p32):
+        p["total_rows"] = p["routed_rows"] + p["error_rows"]
+    eff = (p32["rows_per_sec"] / p8["rows_per_sec"]) / 4.0
+
+    times = run_headline(SF_DIR)
+    write_baseline_md(p8, p32, eff, times)
+
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF,
+        "pipeline_rows": p32["total_rows"],
+        "pipeline_rows_per_sec_local8": round(p8["rows_per_sec"], 1),
+        "pipeline_rows_per_sec_local32": round(p32["rows_per_sec"], 1),
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Per-sink aggregation stage + skew-mitigation helpers (SURVEY.md §2.8).
+
+The aggregation keys (severity, source) are deliberately skewed (hot
+facility Local7 => two-thirds of rows share few severities). Two tools:
+
+  * AQE handles skewed *partitions* on the shuffle (session.py enables it).
+  * ``salted`` runs any *algebraic* aggregate in two phases — partial
+    aggregation over (keys + salt) then re-aggregation without the salt —
+    so no single reducer sees a whole hot key. Correct for count/sum/min/
+    max/bit_xor (associative+commutative); NOT for exact distincts or
+    exact percentiles (those need their own two-step shapes below).
+
+Exact percentile is used at test scale (DuckDB-checkable), t-digest-style
+``percentile_approx`` at bench/cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def salted(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: dict[str, Column],
+    final_aggs: dict[str, Column],
+    n_salts: int = DEFAULT_SALTS,
+    salt_on: str = "doc_id",
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys+salt).agg(partial) ->
+    groupBy(keys).agg(final over the partials)."""
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts)).alias("_salt")
+    partial = df.groupBy(*keys, salt).agg(
+        *[c.alias(n) for n, c in partial_aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[c.alias(n) for n, c in final_aggs.items()]
+    )
+
+
+def salted_sink_counts(
+    ok: DataFrame, n_salts: int = DEFAULT_SALTS
+) -> DataFrame:
+    """Skew-proof (severity, source) counts + xor row-set checksums."""
+    from .route import row_checksum
+
+    return salted(
+        ok,
+        ["severity", "source"],
+        {"rows": F.count(F.lit(1)), "cs": F.bit_xor(row_checksum())},
+        {"rows": F.sum("rows"), "row_set_checksum": F.bit_xor("cs")},
+        n_salts,
+    )
+
+
+def sink_aggregates(
+    ok: DataFrame, exact_percentiles: bool = True
+) -> DataFrame:
+    """The per-sink aggregate table the north rule names: count, distinct
+    hostnames, approx distinct doc ids, n_tok percentiles."""
+    if exact_percentiles:
+        pct = F.percentile("n_tok", [0.5, 0.95, 0.99])
+    else:
+        pct = F.percentile_approx("n_tok", [0.5, 0.95, 0.99], 10_000)
+    return ok.groupBy("severity", "source").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count_distinct("hostname").alias("distinct_hostnames"),
+        F.approx_count_distinct("doc_id").alias("approx_docs"),
+        F.min("n_tok").alias("min_n_tok"),
+        F.max("n_tok").alias("max_n_tok"),
+        F.sum("n_tok").alias("sum_n_tok"),
+        pct.alias("n_tok_pcts"),
+    )
+
+
+def severity_rollup(enriched: DataFrame) -> DataFrame:
+    """Global severity histogram with names (the flagship aggregation)."""
+    return (
+        enriched.filter(F.col("error_msg").isNull())
+        .groupBy("severity", "severity_name")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct("hostname").alias("distinct_hostnames"),
+        )
+        .orderBy("severity")
+    )

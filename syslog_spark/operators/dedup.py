@@ -1,0 +1,258 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all DataFrame-first:
+
+  * exact           — hash-groupBy on md5(text) (shuffle on the digest,
+                      uniform by construction — no skew handling needed)
+  * minhash + LSH   — shingle -> 64 minhashes -> banded bucket join; the
+                      scale path for near-dup detection: candidate pairs
+                      only ever meet inside a bucket (no quadratic join),
+                      then exact-Jaccard verification on the candidates.
+  * simhash         — 64-bit rotation-tolerant fingerprint via a
+                      vectorized pandas UDF over JVM-hashed token arrays.
+  * n-gram Jaccard  — exact pairwise similarity for candidate pairs.
+
+Everything upstream of the pandas UDFs is Catalyst expressions
+(xxhash64 / transform / aggregate) — token hashing never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 31-bit Mersenne prime: products a*h stay below 2^62 (no long overflow
+# under ANSI mode; Spark 4 is ANSI-on by default)
+MERSENNE_31 = (1 << 31) - 1
+
+
+def text_digest(col: Column | str) -> Column:
+    """Exact-dup key: md5 of the raw text (mirrorable in any SQL engine)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(digest, n_docs, doc_ids) for every text occurring more than once."""
+    return (
+        df.groupBy(text_digest(text_col).alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedupe_exact(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per identical text. One shuffle on the digest."""
+    w = Window.partitionBy(text_digest(text_col)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --- shingling + minhash --------------------------------------------------------
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Character k-shingles as a deduplicated array (JVM expression)."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
+
+
+def shingle_hashes(col: Column | str, k: int = 5) -> Column:
+    """Non-negative 31-bit hashes of the shingle set."""
+    return F.transform(
+        shingles(col, k), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31))
+    )
+
+
+def _coeffs(n_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_31, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, MERSENNE_31, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(col: Column | str, n_hashes: int = 64, k: int = 5,
+                      seed: int = 42) -> Column:
+    """array<bigint> of n_hashes min-permutation values (pure Catalyst).
+
+    sig_i = min over shingles s of (a_i * h(s) + b_i) mod M31."""
+    hashes = shingle_hashes(col, k)
+    a, b = _coeffs(n_hashes, seed)
+
+    def perm(ai: int, bi: int):
+        # single-arg lambda (pyspark derives HOF arity from the signature)
+        return lambda h: F.pmod(ai * h + bi, F.lit(MERSENNE_31))
+
+    sigs = [
+        F.array_min(F.transform(hashes, perm(int(a[i]), int(b[i]))))
+        for i in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    seed: int = 42,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH.
+
+    Scale shape: explode to (band_id, band_hash, id); self-join happens
+    per bucket via groupBy + pairwise expansion with a bucket-size cap
+    (hot buckets truncated — the cap keeps worst-case work linear; capped
+    buckets are detectable as bucket_size == max_bucket).
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(text_col, n_hashes, k, seed)
+    banded = df.select(
+        F.col(id_col).alias("id"), sig.alias("sig")
+    ).select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids"),
+        F.count(F.lit(1)).alias("bucket_size"),
+    ).filter(F.size("ids") > 1)
+    pairs = (
+        buckets.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_similarity(df_pairs: DataFrame, docs: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 5) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification step)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+    )
+    a = sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed("id", "b").withColumnRenamed("sh", "sh_b")
+    return (
+        df_pairs.join(a, "a").join(b, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("a", "b", "jaccard")
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame, threshold: float = 0.8, **kw
+) -> DataFrame:
+    """LSH candidates -> exact-Jaccard verified pairs above threshold."""
+    cands = minhash_lsh_candidates(df, **kw)
+    sims = jaccard_similarity(
+        cands, df, kw.get("text_col", "text"), kw.get("id_col", "doc_id"),
+        kw.get("k", 5),
+    )
+    return sims.filter(F.col("jaccard") >= threshold)
+
+
+# --- simhash --------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash: JVM tokenization+hashing, numpy bit-vote fold."""
+
+    @F.pandas_udf(T.LongType())
+    def _fold(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            votes = (2 * bits - 1).sum(axis=0)
+            val = int(
+                ((votes > 0).astype(np.uint64)
+                 * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum(
+                    dtype=np.uint64
+                )
+            )
+            out[i] = val - (1 << 64) if val >= (1 << 63) else val
+        return pd.Series(out)
+
+    token_hashes = F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+    )
+    return df.select(
+        F.col(id_col), _fold(token_hashes).alias("simhash")
+    )
+
+
+def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_blocks: int = 4) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, blocked on 16-bit
+    chunks (a pair within distance d < n_blocks shares >= one exact block
+    — pigeonhole), so no quadratic comparison."""
+    sh = simhash(df, text_col, id_col).withColumnRenamed(id_col, "id")
+    width = 64 // n_blocks
+    blocked = sh.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftrightunsigned("simhash", i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("b"),
+    ).select("id", "simhash", "b.blk", "b.key")
+    left = blocked.select(
+        "blk", "key", F.col("id").alias("a"), F.col("simhash").alias("sh_a")
+    )
+    right = blocked.select(
+        "blk", "key", F.col("id").alias("b"), F.col("simhash").alias("sh_b")
+    )
+    pairs = (
+        left.join(right, ["blk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+    return pairs

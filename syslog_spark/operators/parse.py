@@ -162,7 +162,14 @@ def _int_array(vals: np.ndarray, patype) -> pa.Array:
 def parse_record_batch(
     batch: pa.RecordBatch, ref_year: int, ref_tz: int, keep_raw: bool
 ) -> pa.RecordBatch:
-    lines_arr = detokenize_array(batch.column("tokens"))
+    if "tokens" in batch.schema.names:
+        lines_arr = detokenize_array(batch.column("tokens"))
+        n_tok = batch.column("n_tok")
+    else:  # raw-line input (parse_lines)
+        lines_arr = batch.column("line")
+        n_tok = pa.compute.binary_length(
+            pa.compute.cast(lines_arr, pa.binary())
+        ).cast(pa.int32())
     lines_pd = lines_arr.to_pandas()
     source_pd = batch.column("source").to_pandas()
     # format = source prefix before '/' (FIXTURES.md §1)
@@ -177,7 +184,7 @@ def parse_record_batch(
     cols: dict[str, pa.Array] = {
         "doc_id": batch.column("doc_id"),
         "source": batch.column("source"),
-        "n_tok": batch.column("n_tok"),
+        "n_tok": n_tok,
         "priority": _int_array(pri, pa.int16()),
         "facility": _int_array(fac, pa.int16()),
         "severity": _int_array(sev, pa.int16()),
@@ -231,4 +238,25 @@ def parse_tokens(
         parsed_spark_schema(keep_raw),
     )
     # JVM-side analytic timestamp column (UTC instant)
+    return out.withColumn("ts", F.timestamp_micros(F.col("ts_micros")))
+
+
+def parse_lines(
+    df,
+    ref_year: int = C.DEFAULT_REFERENCE_YEAR,
+    ref_tz: int = C.DEFAULT_REFERENCE_TZ_OFFSET_SECONDS,
+    keep_raw: bool = False,
+):
+    """DataFrame(doc_id, line, source) -> parsed DataFrame.
+
+    Raw-string variant of :func:`parse_tokens` for callers that already
+    hold text lines (e.g. the DuckDB cross-check queries); `source` selects
+    the format as usual."""
+    from pyspark.sql import functions as F
+
+    df = df.select("doc_id", "line", "source")
+    out = df.mapInArrow(
+        make_parse_fn(ref_year, ref_tz, keep_raw),
+        parsed_spark_schema(keep_raw),
+    )
     return out.withColumn("ts", F.timestamp_micros(F.col("ts_micros")))

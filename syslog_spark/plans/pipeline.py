@@ -1,0 +1,78 @@
+"""End-to-end pipeline plan: read -> parse -> enrich -> route -> aggregate.
+
+The Spark lifecycle equivalent of the reference's ParseMessage driver loop
+(syslog.go:143-161) lifted to table scale (SURVEY.md §3):
+
+  read tokens (Iceberg/Parquet, partition-pruned on source)
+    -> parse (one mapInArrow stage: detokenize + parse, no shuffle)
+    -> enrich (literal lookups / broadcast joins, no shuffle)
+    -> route  (ONE shuffle on (severity, source) for the fan-out write)
+    -> aggregates (reuses the same key space; AQE/salting for skew)
+
+Checkpoint/resume: the routing manifest records completed sinks; a resumed
+run anti-joins them out. Per-partition lineage rows land in <out>/metrics.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import constants as C
+from ..operators.aggregate import sink_aggregates
+from ..operators.enrich import enrich
+from ..operators.parse import parse_tokens
+from ..operators.route import route_write
+from ..sources.io import read_tokens
+
+
+@dataclass
+class PipelineConfig:
+    reference_year: int = C.DEFAULT_REFERENCE_YEAR
+    reference_tz_offset: int = C.DEFAULT_REFERENCE_TZ_OFFSET_SECONDS
+    resume: bool = False
+    exact_percentiles: bool = True
+    write_metrics: bool = True
+
+
+def parsed_frame(
+    spark: SparkSession, input_path: str, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    cfg = cfg or PipelineConfig()
+    tokens = read_tokens(spark, input_path)
+    return enrich(
+        parse_tokens(tokens, cfg.reference_year, cfg.reference_tz_offset)
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    cfg = cfg or PipelineConfig()
+    t0 = time.monotonic()
+    df = parsed_frame(spark, input_path, cfg)
+    route_info = route_write(
+        df, out_dir, spark, resume=cfg.resume, write_metrics=cfg.write_metrics
+    )
+    ok = spark.read.parquet(f"{out_dir}/routed")
+    aggs = sink_aggregates(ok, cfg.exact_percentiles)
+    aggs.write.mode("overwrite").parquet(f"{out_dir}/aggregates")
+    wall = time.monotonic() - t0
+
+    manifest = spark.read.parquet(f"{out_dir}/manifest")
+    total = manifest.groupBy().sum("rows").collect()[0][0] or 0
+    n_sinks = manifest.count()
+    errors = spark.read.parquet(f"{out_dir}/errors").count()
+    return {
+        "routed_rows": int(total),
+        "error_rows": int(errors),
+        "sinks": int(n_sinks),
+        "skipped_sinks": route_info["skipped_sinks"],
+        "wall_seconds": wall,
+        "rows_per_sec": (int(total) + errors) / wall if wall > 0 else 0.0,
+    }

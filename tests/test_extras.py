@@ -1,0 +1,157 @@
+"""Tests for training-data operators: dedup, similarity, text stats."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "the quick brown fox jumps over the lazy dog"),  # exact dup
+        ("d3", "the quick brown fox jumps over the lazy cat"),  # near dup
+        ("d4", "completely different content about spark engines"),
+        ("d5", "der hund ist nicht und der die das"),
+        ("d6", "le chat est sur la table et les chaises"),
+        ("d7", ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    from syslog_spark.operators.dedup import dedupe_exact, exact_duplicate_groups
+
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 2
+    assert groups[0]["doc_ids"] == ["d1", "d2"]
+    kept = dedupe_exact(docs)
+    assert kept.count() == 6
+    assert kept.filter("doc_id = 'd2'").count() == 0
+
+
+def test_minhash_near_dup(spark, docs):
+    from syslog_spark.operators.dedup import near_duplicates_minhash
+
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in near_duplicates_minhash(
+            docs.filter("text != ''"), threshold=0.5
+        ).collect()
+    }
+    assert ("d1", "d2") in pairs and pairs[("d1", "d2")] == 1.0
+    assert ("d1", "d3") in pairs and 0.6 < pairs[("d1", "d3")] < 1.0
+    assert not any("d4" in p for p in pairs)
+
+
+def test_minhash_accuracy(spark):
+    """Minhash signature similarity approximates true Jaccard."""
+    from syslog_spark.operators.dedup import minhash_signature, shingles
+
+    rows = [("a", "abcdefghijklmnopqrstuvwxyz" * 4),
+            ("b", "abcdefghijklmnopqrstuvwxyz" * 3 + "0123456789abcdefghijklmnop")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = df.select(
+        "doc_id",
+        minhash_signature("text", 128).alias("sig"),
+        shingles("text").alias("sh"),
+    ).collect()
+    sig = {r["doc_id"]: r["sig"] for r in out}
+    sh = {r["doc_id"]: set(r["sh"]) for r in out}
+    true_j = len(sh["a"] & sh["b"]) / len(sh["a"] | sh["b"])
+    est_j = sum(x == y for x, y in zip(sig["a"], sig["b"])) / 128
+    assert abs(true_j - est_j) < 0.2
+
+
+def test_simhash_near_dup(spark, docs):
+    from syslog_spark.operators.dedup import simhash, simhash_near_dups
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh["d1"] == sh["d2"]
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_near_dups(docs, max_hamming=16).collect()}
+    assert pairs[("d1", "d2")] == 0
+    assert ("d1", "d3") in pairs
+
+
+def test_brute_force_topk(spark):
+    from syslog_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.RandomState(0)
+    vecs = rng.normal(size=(50, 16)).astype(float)
+    rows = [(i, vecs[i].tolist()) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(emb, q, k=5).collect()
+    assert len(top) == 5
+    assert top[0]["vec_id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-9
+    # cross-check against numpy
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    want = np.argsort(-sims)[:5].tolist()
+    got = [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert got == want
+
+
+def test_lsh_topk_recall(spark):
+    from syslog_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.RandomState(1)
+    base = rng.normal(size=(40, 16))
+    # plant clear near-neighbours of vec 0
+    for i in range(1, 6):
+        base[i] = base[0] + rng.normal(scale=0.05, size=16)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {r["vec_id"] for r in lsh_topk(emb, q, dim=16, k=5).collect()}
+    # strongly-planted neighbours must be recalled
+    assert len(exact & approx) >= 4
+
+
+def test_textstats(spark, docs):
+    from syslog_spark.operators import textstats as TS
+
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        TS.whitespace_token_count("text").alias("n"),
+        TS.stopword_count("text").alias("sw"),
+        TS.lang_id("text").alias("lang"),
+        TS.fingerprint_md5("text").alias("fp"),
+        TS.quality_score("text").alias("q"),
+    ).collect()}
+    assert out["d1"]["n"] == 9 and out["d7"]["n"] == 0
+    assert out["d1"]["sw"] == 2  # 'the' twice
+    assert out["d1"]["lang"] == "en"
+    assert out["d5"]["lang"] == "de"
+    assert out["d6"]["lang"] == "fr"
+    assert out["d7"]["lang"] == "und"
+    assert out["d1"]["fp"] == out["d2"]["fp"] != out["d3"]["fp"]
+    assert 0 <= out["d7"]["q"] <= out["d1"]["q"] <= 1
+
+
+def test_rolling_hash(spark, docs):
+    from syslog_spark.operators.textstats import (
+        POLY_BASE, POLY_MOD, normalized_text, rolling_hash_udf,
+    )
+
+    out = {r["doc_id"]: r["rh"] for r in docs.select(
+        "doc_id", rolling_hash_udf()(normalized_text("text")).alias("rh")
+    ).collect()}
+    assert out["d1"] == out["d2"] != out["d3"]
+
+    def py_roll(t):
+        acc = 0
+        for b in t.encode():
+            acc = (acc * POLY_BASE + b) % POLY_MOD
+        return acc
+
+    assert out["d1"] == py_roll("the quick brown fox jumps over the lazy dog")

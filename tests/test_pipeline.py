@@ -1,0 +1,149 @@
+"""Pipeline-stage tests: serialize round-trip, enrich, route, aggregate,
+checkpoint/resume, lineage metrics."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from syslog_spark import oracle as O
+from syslog_spark.operators.enrich import enrich, enrich_with_joins
+from syslog_spark.operators.parse import parse_tokens
+from syslog_spark.operators.route import route_write, sink_manifest, split_valid
+from syslog_spark.operators.aggregate import (
+    salted_sink_counts,
+    sink_aggregates,
+)
+from syslog_spark.operators.schema import TOKENS_SPARK_SCHEMA
+from syslog_spark.operators.serialize import with_canonical
+from syslog_spark.sources import datagen as D
+
+Y, TZ = 2024, 0
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    batch = D.corpus_token_batch()
+    pdf = pa.Table.from_batches([batch]).to_pandas()
+    df = spark.createDataFrame(pdf, schema=TOKENS_SPARK_SCHEMA)
+    return parse_tokens(df, Y, TZ, keep_raw=True).cache()
+
+
+@pytest.fixture(scope="module")
+def synth(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tok") / "tokens")
+    D.write_token_table(spark, path, 5000, partitions=4)
+    return path
+
+
+def test_serialize_matches_oracle(spark, parsed):
+    rows = with_canonical(parsed).select("doc_id", "canonical").collect()
+    got = {r["doc_id"]: r["canonical"] for r in rows}
+    for name, fmt, line in D.corpus():
+        r = O.parse_message(line, fmt, Y, TZ)
+        want = None if r.msg is None else O.serialize(r.msg)
+        assert got[name] == want, name
+
+
+def test_roundtrip_token_equality(spark, parsed):
+    """serialize(parse(x)) == x for canonical RFC 5424 rows (§1.2)."""
+    canon = with_canonical(parsed)
+    for name in ("rfc5424/minimum", "rfc5424/regular", "rfc5424/empty-data"):
+        row = canon.filter(F.col("doc_id") == name).collect()[0]
+        assert row["canonical"] == row["raw"], name
+
+
+def test_enrich_names(spark, parsed):
+    e = enrich(parsed)
+    rows = {r["doc_id"]: r for r in e.collect()}
+    reg = rows["rfc5424/regular"]
+    assert reg["facility_name"] == "Local 7"
+    assert reg["severity_name"] == "Debug"
+    assert reg["tenant"].startswith("tenant_")
+    # priority 300 -> facility 5 "Internal"
+    r = rows["rfc5424/multi-sd-dup"]
+    assert r["facility_name"] == "Kernel"  # pri 5 -> fac 0
+    # error rows keep null names
+    assert rows["err/pri-empty"]["facility_name"] is None
+
+
+def test_enrich_join_equals_literal(spark, parsed):
+    a = enrich(parsed).select("doc_id", "facility_name", "severity_name", "tenant")
+    b = enrich_with_joins(parsed, spark).select(
+        "doc_id", "facility_name", "severity_name", "tenant"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_facility_name_invalid(spark):
+    from syslog_spark.functions.priority import facility_name, severity_name
+
+    df = spark.range(1).select(
+        facility_name(F.lit(24).cast("smallint")).alias("f24"),
+        facility_name(F.lit(23).cast("smallint")).alias("f23"),
+        severity_name(F.lit(8).cast("smallint")).alias("s8"),
+        facility_name(F.lit(None).cast("smallint")).alias("fnull"),
+    )
+    r = df.collect()[0]
+    assert r["f24"] == "Invalid" and r["f23"] == "Local 7"
+    assert r["s8"] == "Invalid" and r["fnull"] is None
+
+
+def test_route_and_aggregate(spark, synth, tmp_path):
+    out = str(tmp_path / "out")
+    from syslog_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    res = run_pipeline(spark, synth, out)
+    assert res["routed_rows"] + res["error_rows"] == 5000
+    assert res["error_rows"] > 0 and res["sinks"] > 10
+
+    routed = spark.read.parquet(f"{out}/routed")
+    manifest = spark.read.parquet(f"{out}/manifest")
+    # manifest counts match the physically routed partitions
+    chk = (
+        routed.groupBy("severity", "source")
+        .count()
+        .join(manifest, ["severity", "source"])
+        .filter(F.col("count") != F.col("rows"))
+        .count()
+    )
+    assert chk == 0
+    # routed-row-set equality: recompute checksum from the routed files
+    re_manifest = sink_manifest(routed)
+    diff = (
+        re_manifest.join(
+            manifest.withColumnRenamed("row_set_checksum", "cs2"),
+            ["severity", "source"],
+        )
+        .filter(F.col("row_set_checksum") != F.col("cs2"))
+        .count()
+    )
+    assert diff == 0
+
+    aggs = spark.read.parquet(f"{out}/aggregates")
+    assert aggs.count() == res["sinks"]
+    # per-partition lineage metrics
+    metrics = spark.read.parquet(f"{out}/metrics")
+    tot = metrics.groupBy().sum("input_rows", "ok_rows", "error_rows").collect()[0]
+    assert tot[0] == 5000 and tot[1] == res["routed_rows"]
+
+
+def test_salted_counts_equal_plain(spark, synth):
+    df = parse_tokens(spark.read.parquet(synth), Y, TZ)
+    ok, _ = split_valid(df)
+    plain = sink_manifest(ok)
+    salted = salted_sink_counts(ok, n_salts=8)
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_resume_skips_completed(spark, synth, tmp_path):
+    out = str(tmp_path / "out2")
+    df = enrich(parse_tokens(spark.read.parquet(synth), Y, TZ))
+    route_write(df, out, spark, resume=False, write_metrics=False)
+    first = spark.read.parquet(f"{out}/routed").count()
+    # resumed run with identical input: everything already routed
+    info = route_write(df, out, spark, resume=True, write_metrics=False)
+    assert info["skipped_sinks"] > 0 and info["routed_rows"] == 0
+    assert spark.read.parquet(f"{out}/routed").count() == first

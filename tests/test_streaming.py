@@ -1,0 +1,128 @@
+"""Structured Streaming + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from syslog_spark.sources.datagen import write_token_table
+
+
+@pytest.fixture(scope="module")
+def token_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "tokens")
+    write_token_table(spark, path, 2000, partitions=4)
+    return path
+
+
+def test_stream_parse_availablenow(spark, token_dir, tmp_path):
+    from syslog_spark.streaming.stream_pipeline import run_stream_once
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = run_stream_once(spark, token_dir, out, ckpt)
+    # streaming output equals the batch pipeline's valid-row count
+    from syslog_spark.operators.parse import parse_tokens
+
+    batch_valid = (
+        parse_tokens(spark.read.parquet(token_dir))
+        .filter(F.col("error_msg").isNull())
+        .count()
+    )
+    assert n1 == batch_valid
+    # restart: checkpoint makes re-run a no-op
+    n2 = run_stream_once(spark, token_dir, out, ckpt)
+    assert n2 == n1
+
+
+def test_stream_windowed_counts(spark, token_dir):
+    from syslog_spark.streaming.stream_pipeline import (
+        parse_stream,
+        read_token_stream,
+        windowed_severity_counts,
+    )
+
+    agg = windowed_severity_counts(
+        parse_stream(read_token_stream(spark, token_dir))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sev_windows")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits only watermark-closed windows; with availableNow
+    # the final watermark closes all but the max-event-time window(s).
+    rows = spark.sql("select * from sev_windows").collect()
+    assert len(rows) > 0
+    assert all(0 <= r["severity"] <= 7 for r in rows)
+
+
+def test_stream_stateful_running_totals(spark, token_dir, tmp_path):
+    from syslog_spark.streaming.stream_pipeline import (
+        host_running_totals,
+        parse_stream,
+        read_token_stream,
+    )
+
+    totals = host_running_totals(
+        parse_stream(read_token_stream(spark, token_dir))
+    )
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("host_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["hostname"]: r["running_total"]
+        for r in spark.sql("select * from host_totals").collect()
+    }
+    from syslog_spark.operators.parse import parse_tokens
+
+    want = {
+        r["hostname"]: r["n"]
+        for r in parse_tokens(spark.read.parquet(token_dir))
+        .filter(F.col("error_msg").isNull())
+        .groupBy("hostname")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_multimodal_features(spark):
+    from syslog_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, 32)
+    feats = extract_features(media).collect()
+    assert len(feats) == 32
+    for r in feats:
+        assert r["decode_error"] is None
+        assert len(r["feature"]) == FEATURE_DIM
+        s = sum(x * x for x in r["feature"])
+        assert abs(s - 1.0) < 1e-3  # unit-norm contract
+    # determinism
+    feats2 = extract_features(media).collect()
+    assert {r["doc_id"]: r["feature"] for r in feats} == {
+        r["doc_id"]: r["feature"] for r in feats2
+    }
+
+
+def test_multimodal_oversize_skip(spark):
+    from syslog_spark.operators.multimodal import extract_features, synth_media_df
+
+    media = synth_media_df(spark, 4)
+    out = extract_features(media, max_payload_bytes=10).collect()
+    assert all(
+        r["feature"] is None and "too large" in r["decode_error"] for r in out
+    )
