@@ -247,6 +247,45 @@ def q_error_sink(spark, sf_dir):
     )
 
 
+def q_error_classes(spark, sf_dir):
+    """Six malformed-input classes with reference-exact error strings
+    (parsers_test.go tables, in-pipeline columns)."""
+    ev = _t(spark, sf_dir, "events")
+    line = (
+        "case pmod(event_id, 6) "
+        "when 0 then concat('<> ev', event_id) "
+        "when 1 then concat('<abc> ev', event_id) "
+        "when 2 then concat('<1234> ev', event_id) "
+        "when 3 then concat('<1>a - - - - - ev', event_id) "
+        "when 4 then concat('<1>1 BAD-TIMESTAMP h a p m - ev', event_id) "
+        f"else {_RFC_LINE_SPARK} end"
+    )
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.expr(line).alias("line"),
+        F.lit("rfc5424").alias("source"),
+    )
+    p = parse_lines(lines)
+    return p.select(
+        "doc_id", "error_msg",
+        F.col("error_column").cast("bigint").alias("error_column"),
+        F.col("failed_stage").cast("bigint").alias("failed_stage"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Rows-only: stubbed decode over the binary media table (real Arrow
+    plumbing, deterministic fake features)."""
+    from syslog_spark.operators.multimodal import extract_features, synth_media_df
+
+    media = synth_media_df(spark, 128)
+    out = extract_features(media)
+    return out.select(
+        "doc_id", "modality",
+        F.size("feature").cast("bigint").alias("feature_dim"),
+    )
+
+
 def q_route_counts(spark, sf_dir):
     p = _parse_rfc(spark, sf_dir)
     return (
@@ -552,6 +591,20 @@ def oracle_sql() -> dict[str, str]:
                    END AS error_msg,
                    CASE WHEN event_id % 7 = 0 THEN 2 END AS error_column
             FROM events""",
+        "error_classes": """
+            SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                   CASE event_id % 6
+                     WHEN 0 THEN 'syslog: format incorrect: priority can''t be empty, at column 2'
+                     WHEN 1 THEN 'syslog: format incorrect: priority not a number: abc, at column 2'
+                     WHEN 2 THEN 'syslog: format incorrect: priority too long, at column 5'
+                     WHEN 3 THEN 'syslog: format incorrect: version not a number: a, at column 4'
+                     WHEN 4 THEN 'syslog: format incorrect: timestamp is not following an accepted format, at column 6'
+                   END AS error_msg,
+                   CASE event_id % 6 WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 5
+                        WHEN 3 THEN 4 WHEN 4 THEN 6 END AS error_column,
+                   CASE event_id % 6 WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
+                        WHEN 3 THEN 3 WHEN 4 THEN 5 END AS failed_stage
+            FROM events""",
         "route_counts": """
             SELECT (event_id % 192) % 8 AS severity, count(*) AS rows
             FROM events GROUP BY 1""",
@@ -685,7 +738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_nginx_error": q_parse_nginx_error,
         "serialize_roundtrip": q_serialize_roundtrip,
         "error_sink": q_error_sink,
+        "error_classes": q_error_classes,
         "route_counts": q_route_counts,
+        "multimodal_features": q_multimodal_features,
         "severity_rollup": q_severity_rollup,
         "agg_per_sink": q_agg_per_sink,
         "percentiles": q_percentiles,

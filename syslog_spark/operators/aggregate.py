@@ -42,17 +42,44 @@ def salted(
 
 
 def salted_sink_counts(
-    ok: DataFrame, n_salts: int = DEFAULT_SALTS
+    routed: DataFrame, n_salts: int = DEFAULT_SALTS
 ) -> DataFrame:
-    """Skew-proof (severity, source) counts + xor row-set checksums."""
+    """Skew-proof (sink_severity, source) counts + xor row-set checksums —
+    result-identical to route.sink_manifest (count and bit_xor are
+    associative+commutative), but no reducer ever sees a whole hot sink."""
     from .route import row_checksum
 
     return salted(
-        ok,
-        ["severity", "source"],
+        routed,
+        ["sink_severity", "source"],
         {"rows": F.count(F.lit(1)), "cs": F.bit_xor(row_checksum())},
         {"rows": F.sum("rows"), "row_set_checksum": F.bit_xor("cs")},
         n_salts,
+    )
+
+
+def sink_stats(
+    routed: DataFrame, exact_percentiles: bool = False
+) -> DataFrame:
+    """ONE pass over the routed table producing both the manifest columns
+    (rows, row-set checksum) and the per-sink aggregates — merging the two
+    scans halves the post-route IO/CPU. Error-sink rows (sink_severity=-1)
+    get null hostname/n_tok stats naturally."""
+    from .route import row_checksum
+
+    if exact_percentiles:
+        pct = F.percentile("n_tok", [0.5, 0.95, 0.99])
+    else:
+        pct = F.percentile_approx("n_tok", [0.5, 0.95, 0.99], 10_000)
+    return routed.groupBy("sink_severity", "source").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.bit_xor(row_checksum()).alias("row_set_checksum"),
+        F.count_distinct("hostname").alias("distinct_hostnames"),
+        F.approx_count_distinct("doc_id").alias("approx_docs"),
+        F.min("n_tok").alias("min_n_tok"),
+        F.max("n_tok").alias("max_n_tok"),
+        F.sum("n_tok").alias("sum_n_tok"),
+        pct.alias("n_tok_pcts"),
     )
 
 

@@ -90,17 +90,36 @@ _ROW_INT_COLS = (
     "ts_nanos",
     "tz_offset_seconds",
 )
+_ARROW_COLS = (*_STR_COLS, "data_pa")
 
 
-def _oracle_into(full: dict, i: int, line, fmt: str, ref_year: int, ref_tz: int):
-    """Parse one row with the byte-exact oracle and scatter into `full`."""
+def _format_masks(source: pa.Array) -> dict[str, np.ndarray]:
+    """source -> boolean mask per format (prefix before '/', FIXTURES.md §1)."""
+    import pyarrow.compute as pc
+
+    out = {}
+    for fmt in C.FORMATS:
+        m = pc.or_(
+            pc.equal(source, fmt), pc.starts_with(source, fmt + "/")
+        )
+        out[fmt] = pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+    return out
+
+
+def _oracle_into(
+    full: dict, i: int, line, fmt: str, ref_year: int, ref_tz: int,
+    oracle_rows: dict,
+):
+    """Parse one row with the byte-exact oracle; ints scatter into `full`,
+    strings/data collect into per-column lists (Arrow merge later)."""
     pr = oracle.parse_message(line, fmt, ref_year, ref_tz)
     row = oracle.to_row(pr)
     for k in _ROW_INT_COLS:
         full[k][i] = _NULL_INT if row[k] is None else row[k]
+    oracle_rows["pos"].append(i)
     for k in _STR_COLS:
-        full[k][i] = row[k]
-    full["data"][i] = row["data"]
+        oracle_rows[k].append(row[k])
+    oracle_rows["data_pa"].append(row["data"])
     full["error_msg"][i] = row["error_msg"]
     full["error_column"][i] = (
         _NULL_INT if row["error_column"] is None else row["error_column"]
@@ -111,46 +130,109 @@ def _oracle_into(full: dict, i: int, line, fmt: str, ref_year: int, ref_tz: int)
     full["slow"][i] = False
 
 
-def _parse_lines_batch(lines_pd, fmts_pd, ref_year: int, ref_tz: int) -> dict:
-    """pandas Series of lines + format names -> dict of full-length arrays."""
-    n = len(lines_pd)
-    full = fastpath._empty_result(n)
+def _merge_arrow(n, chunks, oracle_vals, otype):
+    """Merge dense per-format Arrow chunks + oracle python values into one
+    full-length column: one concat + one take (oracle entries win over
+    their fast-path slots; uncovered rows -> null)."""
+    perm = np.full(n, -1, np.int64)
+    arrays = []
+    base = 0
+    for idx, arr in chunks:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        perm[idx] = base + np.arange(len(idx))
+        arrays.append(arr)
+        base += len(idx)
+    opos, vals = oracle_vals
+    if len(opos):
+        arrays.append(pa.array(vals, type=otype))
+        perm[opos] = base + np.arange(len(opos))
+    if not arrays:
+        return pa.nulls(n, otype)
+    return pa.concat_arrays(arrays).take(
+        pa.array(perm, pa.int64(), mask=perm < 0)
+    )
+
+
+def _parse_lines_batch(lines_arr: pa.Array, source_arr: pa.Array,
+                       ref_year: int, ref_tz: int):
+    """Arrow string arrays (lines, source) -> (dict of int/error arrays,
+    dict of full-length Arrow columns for strings + data)."""
+    import pyarrow.compute as pc
+
+    from .schema import DATA_T_PA
+
+    if isinstance(lines_arr, pa.ChunkedArray):
+        lines_arr = lines_arr.combine_chunks()
+    n = len(lines_arr)
+    full = {
+        k: np.full(n, _NULL_INT, np.int64) for k in _ROW_INT_COLS
+    }
+    full["slow"] = np.ones(n, bool)
     full["error_msg"] = np.full(n, None, object)
     full["error_column"] = np.full(n, _NULL_INT, np.int64)
     full["failed_stage"] = np.full(n, _NULL_INT, np.int64)
 
-    fmt_np = fmts_pd.to_numpy()
+    fmt_masks = _format_masks(source_arr)
     # The reference operates on BYTES (buffer.go): length limits, discard
-    # widths and error columns are byte counts. The fast path works on str,
-    # so only pure-ASCII lines (byte==char) are eligible; others take the
-    # byte-exact oracle path (this includes BOM-carrying messages).
-    is_ascii = np.fromiter(
-        (s.isascii() for s in lines_pd), dtype=bool, count=n
-    )
+    # widths and error columns are byte counts. The fast path works on
+    # codepoints, so only pure-ASCII lines (byte==char) are eligible;
+    # others take the byte-exact oracle path (this includes BOM-carrying
+    # messages). NUL is additionally excluded because the fast path joins
+    # rows on \x00 for its single-scan regex extraction.
+    ineligible = pc.fill_null(
+        pc.match_substring_regex(lines_arr, r"[^\x01-\x7f]"), True
+    ).to_numpy(zero_copy_only=False)
+
+    chunks: dict[str, list] = {k: [] for k in _ARROW_COLS}
+    oracle_rows: dict[str, list] = {k: [] for k in (*_STR_COLS, "data_pa", "pos")}
+
     for fmt, parser in fastpath.FAST_PARSERS.items():
-        idx = np.flatnonzero((fmt_np == fmt) & ~is_ascii)
-        for i in idx:
-            _oracle_into(full, i, lines_pd.iloc[i], fmt, ref_year, ref_tz)
-        idx = np.flatnonzero((fmt_np == fmt) & is_ascii)
+        fmask = fmt_masks[fmt]
+        oidx = np.flatnonzero(fmask & ineligible)
+        if oidx.size:
+            for i, line in zip(
+                oidx, lines_arr.take(pa.array(oidx)).to_pylist()
+            ):
+                _oracle_into(full, i, line, fmt, ref_year, ref_tz, oracle_rows)
+        idx = np.flatnonzero(fmask & ~ineligible)
         if idx.size == 0:
             continue
-        sub = lines_pd.iloc[idx].reset_index(drop=True)
+        sub = lines_arr.take(pa.array(idx))
         res = parser(sub, ref_year, ref_tz)
-        for key, arr in res.items():
-            if key == "slow":
-                continue
-            full[key][idx] = arr
+        for k in _ROW_INT_COLS:
+            full[k][idx] = res[k]
         full["slow"][idx] = res["slow"]
+        for k in _ARROW_COLS:
+            chunks[k].append((idx, res[k] if k != "data_pa" else res["data_pa"]))
 
         # oracle fallback for declined rows (rare on well-formed corpora)
-        for i in idx[res["slow"]]:
-            _oracle_into(full, i, lines_pd.iloc[i], fmt, ref_year, ref_tz)
+        slow_idx = idx[res["slow"]]
+        if slow_idx.size:
+            for i, line in zip(
+                slow_idx, sub.take(pa.array(np.flatnonzero(res["slow"]))).to_pylist()
+            ):
+                _oracle_into(full, i, line, fmt, ref_year, ref_tz, oracle_rows)
 
     # unknown formats -> error rows
     left = np.flatnonzero(full["slow"])
-    for i in left:
-        full["error_msg"][i] = f"unknown format: {fmt_np[i]}"
-    return full
+    if left.size:
+        src_left = source_arr.take(pa.array(left)).to_pylist()
+        for i, s in zip(left, src_left):
+            full["error_msg"][i] = f"unknown format: {s}"
+            for k in _ROW_INT_COLS:
+                full[k][i] = _NULL_INT
+
+    opos = np.array(oracle_rows["pos"], np.int64)
+    arrow_cols = {}
+    for k in _STR_COLS:
+        arrow_cols[k] = _merge_arrow(
+            n, chunks[k], (opos, oracle_rows[k]), pa.string()
+        )
+    arrow_cols["data"] = _merge_arrow(
+        n, chunks["data_pa"], (opos, oracle_rows["data_pa"]), DATA_T_PA
+    )
+    return full, arrow_cols
 
 
 def _int_array(vals: np.ndarray, patype) -> pa.Array:
@@ -170,11 +252,9 @@ def parse_record_batch(
         n_tok = pa.compute.binary_length(
             pa.compute.cast(lines_arr, pa.binary())
         ).cast(pa.int32())
-    lines_pd = lines_arr.to_pandas()
-    source_pd = batch.column("source").to_pandas()
-    # format = source prefix before '/' (FIXTURES.md §1)
-    fmts = source_pd.str.split("/").str[0]
-    full = _parse_lines_batch(lines_pd, fmts, ref_year, ref_tz)
+    full, arrow_cols = _parse_lines_batch(
+        lines_arr, batch.column("source"), ref_year, ref_tz
+    )
 
     pri = full["priority"]
     pri_null = pri == _NULL_INT
@@ -192,12 +272,12 @@ def parse_record_batch(
         "ts_micros": _int_array(full["ts_micros"], pa.int64()),
         "ts_nanos": _int_array(full["ts_nanos"], pa.int32()),
         "tz_offset_seconds": _int_array(full["tz_offset_seconds"], pa.int32()),
-        "hostname": pa.array(full["hostname"], type=pa.string()),
-        "appname": pa.array(full["appname"], type=pa.string()),
-        "proc_id": pa.array(full["proc_id"], type=pa.string()),
-        "msg_id": pa.array(full["msg_id"], type=pa.string()),
-        "data": pa.array(full["data"].tolist(), type=parsed_arrow_schema().field("data").type),
-        "message": pa.array(full["message"], type=pa.string()),
+        "hostname": arrow_cols["hostname"],
+        "appname": arrow_cols["appname"],
+        "proc_id": arrow_cols["proc_id"],
+        "msg_id": arrow_cols["msg_id"],
+        "data": arrow_cols["data"],
+        "message": arrow_cols["message"],
         "error_msg": pa.array(full["error_msg"], type=pa.string()),
         "error_column": _int_array(full["error_column"], pa.int32()),
         "failed_stage": _int_array(full["failed_stage"], pa.int32()),

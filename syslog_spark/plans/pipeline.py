@@ -21,7 +21,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import constants as C
-from ..operators.aggregate import sink_aggregates
 from ..operators.enrich import enrich
 from ..operators.parse import parse_tokens
 from ..operators.route import route_write
@@ -53,26 +52,46 @@ def run_pipeline(
     out_dir: str,
     cfg: PipelineConfig | None = None,
 ) -> dict:
+    from pyspark.sql import functions as F
+
+    from ..operators.route import ERROR_SINK
+
     cfg = cfg or PipelineConfig()
     t0 = time.monotonic()
     df = parsed_frame(spark, input_path, cfg)
     route_info = route_write(
         df, out_dir, spark, resume=cfg.resume, write_metrics=cfg.write_metrics
     )
-    ok = spark.read.parquet(f"{out_dir}/routed")
-    aggs = sink_aggregates(ok, cfg.exact_percentiles)
+    # per-sink aggregates were computed in the same scan as the manifest
+    # (route_write -> sink_stats); materialize the aggregate view from the
+    # tiny manifest table instead of re-scanning the data
+    aggs = (
+        spark.read.parquet(f"{out_dir}/manifest")
+        .filter(F.col("sink_severity") != ERROR_SINK)
+        .withColumnRenamed("sink_severity", "severity")
+        .drop("row_set_checksum")
+    )
     aggs.write.mode("overwrite").parquet(f"{out_dir}/aggregates")
     wall = time.monotonic() - t0
 
     manifest = spark.read.parquet(f"{out_dir}/manifest")
-    total = manifest.groupBy().sum("rows").collect()[0][0] or 0
-    n_sinks = manifest.count()
-    errors = spark.read.parquet(f"{out_dir}/errors").count()
+    by_kind = (
+        manifest.groupBy(F.col("sink_severity") == ERROR_SINK)
+        .agg(F.sum("rows"), F.count(F.lit(1)))
+        .collect()
+    )
+    total = errors = n_sinks = 0
+    for row in by_kind:
+        if row[0]:
+            errors = int(row[1])
+        else:
+            total = int(row[1])
+            n_sinks = int(row[2])
     return {
-        "routed_rows": int(total),
-        "error_rows": int(errors),
-        "sinks": int(n_sinks),
+        "routed_rows": total,
+        "error_rows": errors,
+        "sinks": n_sinks,
         "skipped_sinks": route_info["skipped_sinks"],
         "wall_seconds": wall,
-        "rows_per_sec": (int(total) + errors) / wall if wall > 0 else 0.0,
+        "rows_per_sec": (total + errors) / wall if wall > 0 else 0.0,
     }

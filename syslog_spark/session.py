@@ -30,6 +30,10 @@ def build_session(
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
         shuffle_partitions = int(n) if n.isdigit() else 32
+    # one BLAS/OMP thread per python worker — the workers ARE the
+    # parallelism; nested thread pools oversubscribe the box
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -29,12 +29,19 @@ _CMP_STR = ("hostname", "appname", "proc_id", "msg_id", "message", "error_msg")
 
 
 def batch_rows(lines, fmts):
-    full = P._parse_lines_batch(pd.Series(lines), pd.Series(fmts), Y, TZ)
+    import pyarrow as pa
+
+    full, arrow_cols = P._parse_lines_batch(
+        pa.array(lines, pa.string()), pa.array(fmts, pa.string()), Y, TZ
+    )
+    py = {k: arrow_cols[k].to_pylist() for k in arrow_cols}
     out = []
     for i in range(len(lines)):
         row = {k: (None if full[k][i] == NULL else int(full[k][i])) for k in _CMP_INT}
-        row.update({k: full[k][i] for k in _CMP_STR})
-        row["data"] = full["data"][i]
+        for k in ("hostname", "appname", "proc_id", "msg_id", "message"):
+            row[k] = py[k][i]
+        row["error_msg"] = full["error_msg"][i]
+        row["data"] = py["data"][i]
         out.append(row)
     return out
 
@@ -53,11 +60,13 @@ def test_corpus_matches_oracle():
 
 def test_fastpath_accepts_wellformed():
     """The headline corpus cases must take the vectorized path (perf gate)."""
+    import pyarrow as pa
+
     cases = [(n, f, l) for n, f, l in D.corpus() if not n.startswith("err/")]
     for fmt in ("rfc5424", "nginx_access", "nginx_error"):
         sub = [(n, l) for n, f, l in cases if f == fmt]
         res = FP.FAST_PARSERS[fmt](
-            pd.Series([l for _, l in sub]), Y, TZ
+            pa.array([l for _, l in sub], pa.string()), Y, TZ
         )
         slow_names = [sub[i][0] for i in np.flatnonzero(res["slow"])]
         # only grammar-corner cases may fall back

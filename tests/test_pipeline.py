@@ -92,19 +92,22 @@ def test_facility_name_invalid(spark):
 
 def test_route_and_aggregate(spark, synth, tmp_path):
     out = str(tmp_path / "out")
-    from syslog_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from syslog_spark.operators.route import ERROR_SINK, read_errors, read_routed
+    from syslog_spark.plans.pipeline import run_pipeline
 
     res = run_pipeline(spark, synth, out)
     assert res["routed_rows"] + res["error_rows"] == 5000
     assert res["error_rows"] > 0 and res["sinks"] > 10
 
-    routed = spark.read.parquet(f"{out}/routed")
+    routed = read_routed(spark, out)
+    assert routed.count() == 5000  # errors are the sink_severity=-1 sink
+    assert read_errors(spark, out).count() == res["error_rows"]
     manifest = spark.read.parquet(f"{out}/manifest")
     # manifest counts match the physically routed partitions
     chk = (
-        routed.groupBy("severity", "source")
+        routed.groupBy("sink_severity", "source")
         .count()
-        .join(manifest, ["severity", "source"])
+        .join(manifest, ["sink_severity", "source"])
         .filter(F.col("count") != F.col("rows"))
         .count()
     )
@@ -114,7 +117,7 @@ def test_route_and_aggregate(spark, synth, tmp_path):
     diff = (
         re_manifest.join(
             manifest.withColumnRenamed("row_set_checksum", "cs2"),
-            ["severity", "source"],
+            ["sink_severity", "source"],
         )
         .filter(F.col("row_set_checksum") != F.col("cs2"))
         .count()
@@ -130,10 +133,11 @@ def test_route_and_aggregate(spark, synth, tmp_path):
 
 
 def test_salted_counts_equal_plain(spark, synth):
-    df = parse_tokens(spark.read.parquet(synth), Y, TZ)
-    ok, _ = split_valid(df)
-    plain = sink_manifest(ok)
-    salted = salted_sink_counts(ok, n_salts=8)
+    from syslog_spark.operators.route import with_sink_key
+
+    df = with_sink_key(parse_tokens(spark.read.parquet(synth), Y, TZ))
+    plain = sink_manifest(df)
+    salted = salted_sink_counts(df, n_salts=8)
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
 
@@ -147,3 +151,14 @@ def test_resume_skips_completed(spark, synth, tmp_path):
     info = route_write(df, out, spark, resume=True, write_metrics=False)
     assert info["skipped_sinks"] > 0 and info["routed_rows"] == 0
     assert spark.read.parquet(f"{out}/routed").count() == first
+
+
+def test_files_per_sink_salting(spark, synth, tmp_path):
+    out = str(tmp_path / "out3")
+    import glob
+
+    df = enrich(parse_tokens(spark.read.parquet(synth), Y, TZ))
+    route_write(df, out, spark, write_metrics=False, files_per_sink=3)
+    some_sink = glob.glob(f"{out}/routed/sink_severity=*/source=*")[0]
+    nfiles = len(glob.glob(f"{some_sink}/*.parquet"))
+    assert 1 <= nfiles <= 3
