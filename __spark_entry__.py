@@ -38,7 +38,26 @@ from syslog_spark.operators import textstats as TS  # noqa: E402
 from syslog_spark.operators.serialize import with_canonical  # noqa: E402
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The driver may hand us a session it built itself; make sure the
+    syslog_spark package reaches its python workers (addPyFile zip)."""
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    try:
+        from syslog_spark.session import _ship_package
+
+        _ship_package(spark)
+    except Exception:
+        pass  # workers may still resolve the package via CWD
+    _SHIPPED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -278,6 +297,7 @@ def q_multimodal_features(spark, sf_dir):
     plumbing, deterministic fake features)."""
     from syslog_spark.operators.multimodal import extract_features, synth_media_df
 
+    _ensure_shipped(spark)
     media = synth_media_df(spark, 128)
     out = extract_features(media)
     return out.select(
@@ -493,6 +513,7 @@ def q_pipeline_smoke(spark, sf_dir):
     from syslog_spark.operators.enrich import enrich
     from syslog_spark.sources.datagen import generate_tokens_df
 
+    _ensure_shipped(spark)
     tokens = generate_tokens_df(spark, 5000, partitions=8)
     p = enrich(parse_tokens(tokens))
     return (
@@ -546,7 +567,7 @@ def oracle_sql() -> dict[str, str]:
                    event_id % 192 AS priority,
                    (event_id % 192) // 8 AS facility,
                    (event_id % 192) % 8 AS severity,
-                   1 AS version,
+                   CAST(1 AS BIGINT) AS version,
                    'host' || (user_id % 50) AS hostname,
                    event_type AS appname,
                    'p' || (event_id % 97) AS proc_id,
@@ -556,16 +577,16 @@ def oracle_sql() -> dict[str, str]:
         "parse_rfc5424_data": """
             SELECT CAST(event_id AS VARCHAR) AS doc_id,
                    'meta' AS sd_id, 'k' AS param_key,
-                   event_type AS param_value, 1 AS n_blocks
+                   event_type AS param_value, CAST(1 AS BIGINT) AS n_blocks
             FROM events""",
         "parse_timestamps": """
             SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
                    epoch_us(o_orderdate) AS ts_micros,
-                   0 AS tz_offset_seconds
+                   CAST(0 AS BIGINT) AS tz_offset_seconds
             FROM orders""",
         "parse_nginx_access": """
             SELECT CAST(event_id AS VARCHAR) AS doc_id,
-                   190 AS priority,
+                   CAST(190 AS BIGINT) AS priority,
                    'host' || (user_id % 50) AS hostname,
                    'nginx' AS appname,
                    'request' AS sd_id,
@@ -589,7 +610,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 7 = 0 THEN
                      'syslog: format incorrect: priority can''t be empty, at column 2'
                    END AS error_msg,
-                   CASE WHEN event_id % 7 = 0 THEN 2 END AS error_column
+                   CAST(CASE WHEN event_id % 7 = 0 THEN 2 END AS BIGINT) AS error_column
             FROM events""",
         "error_classes": """
             SELECT CAST(event_id AS VARCHAR) AS doc_id,
@@ -600,10 +621,10 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 3 THEN 'syslog: format incorrect: version not a number: a, at column 4'
                      WHEN 4 THEN 'syslog: format incorrect: timestamp is not following an accepted format, at column 6'
                    END AS error_msg,
-                   CASE event_id % 6 WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 5
-                        WHEN 3 THEN 4 WHEN 4 THEN 6 END AS error_column,
-                   CASE event_id % 6 WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
-                        WHEN 3 THEN 3 WHEN 4 THEN 5 END AS failed_stage
+                   CAST(CASE event_id % 6 WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 5
+                        WHEN 3 THEN 4 WHEN 4 THEN 6 END AS BIGINT) AS error_column,
+                   CAST(CASE event_id % 6 WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 0
+                        WHEN 3 THEN 3 WHEN 4 THEN 5 END AS BIGINT) AS failed_stage
             FROM events""",
         "route_counts": """
             SELECT (event_id % 192) % 8 AS severity, count(*) AS rows
@@ -620,9 +641,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS rows,
                    count(DISTINCT 'host' || (user_id % 50))
                        AS distinct_hostnames,
-                   min(length({_RFC_LINE_DUCK})) AS min_len,
-                   max(length({_RFC_LINE_DUCK})) AS max_len,
-                   sum(length({_RFC_LINE_DUCK})) AS sum_len
+                   CAST(min(length({_RFC_LINE_DUCK})) AS BIGINT) AS min_len,
+                   CAST(max(length({_RFC_LINE_DUCK})) AS BIGINT) AS max_len,
+                   CAST(sum(length({_RFC_LINE_DUCK})) AS BIGINT) AS sum_len
             FROM events GROUP BY 1""",
         "percentiles": """
             SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS p50,
@@ -664,17 +685,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "token_counts": r"""
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
+                   CAST(CASE WHEN trim(text) = '' THEN 0
                         ELSE len(string_split_regex(trim(text), '\s+')) END
-                       AS n_tokens,
+                       AS BIGINT) AS n_tokens,
                    length(text) AS n_chars_q
             FROM documents""",
         "quality": r"""
             SELECT doc_id,
                    len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                        x -> x IN ('the','a','of','and','to','in','is','it',
-                                  'that','for'))) AS stopwords,
-                   length(text) - length(replace(text, '.', '')) AS dots,
+                                  'that','for'))) :: BIGINT AS stopwords,
+                   CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS dots,
                    round(len(list_filter(
                        string_split_regex(lower(trim(text)), '\s+'),
                        x -> x IN ('the','a','of','and','to','in','is','it',

@@ -11,5 +11,33 @@ routing, and per-sink aggregation — plus the training-data operations a
 from . import constants
 from .session import build_session
 
-__all__ = ["constants", "build_session"]
+
+def parse_tokens(df, **kw):
+    """Parse a (doc_id, tokens, n_tok, source) DataFrame. See
+    operators.parse.parse_tokens."""
+    from .operators.parse import parse_tokens as _pt
+
+    return _pt(df, **kw)
+
+
+def parse_lines(df, **kw):
+    """Parse a (doc_id, line, source) DataFrame. See
+    operators.parse.parse_lines."""
+    from .operators.parse import parse_lines as _pl
+
+    return _pl(df, **kw)
+
+
+def run_pipeline(spark, input_path, out_dir, cfg=None):
+    """End-to-end parse -> enrich -> route -> aggregate. See
+    plans.pipeline.run_pipeline."""
+    from .plans.pipeline import run_pipeline as _rp
+
+    return _rp(spark, input_path, out_dir, cfg)
+
+
+__all__ = [
+    "constants", "build_session", "parse_tokens", "parse_lines",
+    "run_pipeline",
+]
 __version__ = "0.1.0"

@@ -71,9 +71,10 @@ def sink_stats(
         pct = F.percentile("n_tok", [0.5, 0.95, 0.99])
     else:
         pct = F.percentile_approx("n_tok", [0.5, 0.95, 0.99], 10_000)
+    cs = F.col("row_cs") if "row_cs" in routed.columns else row_checksum()
     return routed.groupBy("sink_severity", "source").agg(
         F.count(F.lit(1)).alias("rows"),
-        F.bit_xor(row_checksum()).alias("row_set_checksum"),
+        F.bit_xor(cs).alias("row_set_checksum"),
         F.count_distinct("hostname").alias("distinct_hostnames"),
         F.approx_count_distinct("doc_id").alias("approx_docs"),
         F.min("n_tok").alias("min_n_tok"),

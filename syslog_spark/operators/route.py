@@ -123,7 +123,10 @@ def route_write(
     broadcast left_anti join."""
     spark = spark or parsed.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df = with_sink_key(parsed)
+    # row_cs is materialized BEFORE the shuffle (pipelined with the parse
+    # stage) so the manifest scan afterwards reads 8 flat bytes per row
+    # instead of re-decoding + re-hashing the nested data column
+    df = with_sink_key(parsed).withColumn("row_cs", row_checksum())
 
     skipped = 0
     if resume:

@@ -1,0 +1,96 @@
+"""Physical-plan assertions: the Catalyst behaviors the engine relies on
+at 100 TB must actually appear in the plans (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def routed_dir(spark, tmp_path_factory):
+    from syslog_spark.plans.pipeline import run_pipeline
+    from syslog_spark.sources.datagen import write_token_table
+
+    tok = str(tmp_path_factory.mktemp("pt") / "tokens")
+    out = str(tmp_path_factory.mktemp("pt") / "out")
+    write_token_table(spark, tok, 2000, partitions=4)
+    run_pipeline(spark, tok, out)
+    return out
+
+
+def test_enrich_join_is_broadcast(spark, sf_dir):
+    from syslog_spark.operators.enrich import enrich_with_joins
+    from syslog_spark.operators.parse import parse_tokens
+    from syslog_spark.sources.datagen import generate_tokens_df
+
+    df = enrich_with_joins(
+        parse_tokens(generate_tokens_df(spark, 100, partitions=2)), spark
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_routed_partition_pruning(spark, routed_dir):
+    from syslog_spark.operators.route import read_routed
+
+    pruned = read_routed(spark, routed_dir).filter(
+        (F.col("sink_severity") == 3) & (F.col("source") == "rfc5424/h00")
+    )
+    plan = plan_of(pruned)
+    # partition filters reach the scan: no data files outside the matching
+    # sink directory are read
+    assert "PartitionFilters" in plan
+    assert "sink_severity" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_parquet_predicate_pushdown(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") == 7
+    )
+    plan = plan_of(ev)
+    assert "PushedFilters" in plan
+    assert "user_id" in plan.split("PushedFilters")[1][:120]
+
+
+def test_column_pruning(spark, routed_dir):
+    from syslog_spark.operators.route import read_routed
+
+    slim = read_routed(spark, routed_dir).select("doc_id", "severity")
+    plan = plan_of(slim)
+    read_schema = plan.split("ReadSchema:")[1][:300]
+    # the wide nested column must NOT be read for a 2-column projection
+    assert "data" not in read_schema and "message" not in read_schema
+
+
+def test_manifest_scan_prunes_nested(spark, routed_dir):
+    """sink_stats reads the precomputed row_cs, never the nested data."""
+    from syslog_spark.operators.aggregate import sink_stats
+    from syslog_spark.operators.route import read_routed
+
+    plan = plan_of(sink_stats(read_routed(spark, routed_dir)))
+    read_schema = plan.split("ReadSchema:")[1][:400]
+    assert "row_cs" in read_schema
+    assert "sd_id" not in read_schema  # nested data column pruned
+
+
+def test_single_shuffle_in_route_plan(spark):
+    """parse -> enrich -> sink-key assignment stays shuffle-free; the only
+    exchange is the explicit routing repartition."""
+    from syslog_spark.operators.enrich import enrich
+    from syslog_spark.operators.parse import parse_tokens
+    from syslog_spark.operators.route import with_sink_key
+    from syslog_spark.sources.datagen import generate_tokens_df
+
+    df = with_sink_key(
+        enrich(parse_tokens(generate_tokens_df(spark, 100, partitions=2)))
+    )
+    assert "Exchange" not in plan_of(df)
+    routed = df.repartition(8, "sink_severity", "source")
+    plan = plan_of(routed)
+    assert plan.count("Exchange") == 1
