@@ -478,6 +478,54 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
+_PAIR_WORDS = [
+    f"substr(md5(cast(event_id as string)), {i * 8 + 1}, 8)" for i in range(4)
+] + [
+    f"substr(md5(concat(cast(event_id as string), 's')), {i * 8 + 1}, 8)"
+    for i in range(4)
+]
+_TEXT_A = "concat_ws(' ', " + ", ".join(_PAIR_WORDS) + ", 'tailz')"
+_TEXT_B = "concat_ws(' ', " + ", ".join(_PAIR_WORDS) + ", 'tailq')"
+_TEXT_PERM = "concat_ws(' ', " + ", ".join(reversed(_PAIR_WORDS)) + ", 'tailz')"
+
+
+def _pair_docs(spark, sf_dir, text_b_expr):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select(
+        F.concat(F.lit("a-"), F.col("event_id")).alias("doc_id"),
+        F.expr(_TEXT_A).alias("text"),
+    )
+    b = ev.select(
+        F.concat(F.lit("b-"), F.col("event_id")).alias("doc_id"),
+        F.expr(text_b_expr).alias("text"),
+    )
+    return a.unionAll(b)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """Oracle-checked minhash-LSH near-dup detection: constructed corpus
+    where doc a-<id> and b-<id> differ in one short suffix word (Jaccard
+    ~0.88) and everything else is md5-random — exactly the per-event pairs
+    must come back. Deterministic: fixed permutation seed, exact-Jaccard
+    verification after LSH banding."""
+    from syslog_spark.operators.dedup import near_duplicates_minhash
+
+    docs = _pair_docs(spark, sf_dir, _TEXT_B)
+    return near_duplicates_minhash(
+        docs, threshold=0.6, bands=32, n_hashes=64
+    ).select("a", "b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Oracle-checked simhash near-dup detection: b-<id> is a word
+    PERMUTATION of a-<id> (simhash is order-insensitive -> Hamming 0),
+    cross-event texts are md5-random (Hamming ~32)."""
+    from syslog_spark.operators.dedup import simhash_near_dups
+
+    docs = _pair_docs(spark, sf_dir, _TEXT_PERM)
+    return simhash_near_dups(docs, max_hamming=3).select("a", "b")
+
+
 # rows-only (no SQL-equivalent oracle): LSH internals use xxhash64/planes
 def q_minhash_neardup(spark, sf_dir):
     from syslog_spark.operators.dedup import near_duplicates_minhash
@@ -495,6 +543,16 @@ def q_simhash_neardup(spark, sf_dir):
         "doc_id", F.col("doc_id").cast("string")
     )
     return simhash_near_dups(docs, max_hamming=8)
+
+
+def q_ann_ivf(spark, sf_dir):
+    from syslog_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -715,6 +773,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings c, embeddings q
             WHERE q.vec_id < 5
             QUALIFY rank <= 5""",
+        "minhash_pairs": """
+            SELECT 'a-' || event_id AS a, 'b-' || event_id AS b
+            FROM events""",
+        "simhash_pairs": """
+            SELECT 'a-' || event_id AS a, 'b-' || event_id AS b
+            FROM events""",
         "embedding_neardup": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a, embeddings b
@@ -776,10 +840,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_brute_force": q_ann_brute_force,
         "embedding_neardup": q_embedding_neardup,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
         # rows-only checks (non-SQL-expressible internals)
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "pipeline_smoke": q_pipeline_smoke,
     }
 

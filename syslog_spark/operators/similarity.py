@@ -92,6 +92,73 @@ def rh_signature(vec_col, dim: int, n_bits: int = 64, seed: int = 42) -> Column:
     return sig
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer ->
+    corpus assigned to its nearest centroid -> each query searches only its
+    n_probe nearest centroid lists -> exact cosine re-rank inside them.
+
+    Scale shape: the corpus is scanned once for assignment (broadcast
+    centroid model), then the search join is an equi-join on centroid id —
+    a query touches n_probe/n_centroids of the data. Centroids train on a
+    sample (train_fraction) so training never shuffles the full corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _vec(vec_col).alias("v")
+    ).withColumn("features", array_to_vector("v"))
+    train = c
+    if train_fraction and train_fraction < 1.0:
+        train = c.sample(train_fraction, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    assigned = model.transform(c).withColumnRenamed("prediction", "centroid")
+
+    centers = [np.asarray(v).tolist() for v in model.clusterCenters()]
+    centers_df = queries.sparkSession.createDataFrame(
+        [(i, c_) for i, c_ in enumerate(centers)],
+        "centroid int, center array<double>",
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _vec(vec_col).alias("qv")
+    )
+    # per query: the n_probe closest centroids (tiny cross join: Q x K)
+    qc = q.join(F.broadcast(centers_df)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("dist"), F.col("centroid"))
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "centroid")
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid").select(
+        "query_id", "vec_id", cosine(F.col("v"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

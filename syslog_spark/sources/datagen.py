@@ -302,6 +302,19 @@ def synth_lines(idx: np.ndarray, ref_year: int = C.DEFAULT_REFERENCE_YEAR):
         + ' HTTP/1.1", host: "192.168.1.254"'
     )
     lines = rfc.where(fmt_pick <= 5, acc.where(fmt_pick <= 8, err))
+    # size classes (FIXTURES.md §2): ~5% minimum, ~3% long, rest regular
+    size_pick = (h // 53) % 100
+    min_rfc = "<" + pri_s + "> - - - - - -"
+    min_acc = "<" + pri_s + ">Jan  1 01:01:01 h a: [request]"
+    minimum = min_rfc.where(pd.Series(fmt_pick <= 5), min_acc)
+    is_min = pd.Series((size_pick < 5) & (fmt_pick <= 8))
+    lines = lines.mask(is_min, minimum)
+    long_tail = (
+        ' [big blob="' + pd.Series(np.where(h % 2 == 0, ALPHA * 20, ALPHA * 40))
+        + '"] long payload ' + word_s
+    )
+    is_long = pd.Series((size_pick >= 95) & (fmt_pick <= 5))
+    lines = lines.mask(is_long, rfc + long_tail.where(is_long, ""))
     # malformed slice (~1.5%): bad priority / truncated
     bad = (h % 1000) < 15
     if bad.any():

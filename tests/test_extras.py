@@ -155,3 +155,26 @@ def test_rolling_hash(spark, docs):
         return acc
 
     assert out["d1"] == py_roll("the quick brown fox jumps over the lazy dog")
+
+
+def test_ivf_topk_recall(spark):
+    from pyspark.sql import functions as F
+
+    from syslog_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(120, 16))
+    for i in range(1, 6):
+        base[i] = base[0] + rng.normal(scale=0.03, size=16)
+    rows = [(i, base[i].tolist()) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3).collect()
+    }
+    # planted near-neighbours land in the query's own probe lists
+    assert len(exact & approx) >= 4
