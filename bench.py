@@ -71,7 +71,7 @@ def session(cores: int, extra: dict | None = None):
     conf.update(extra or {})
     return build_session(
         app_name=f"bench_local{cores}",
-        master=f"local[{cores}]",
+        master=f"local[{cores},2]",  # 2 task attempts: tolerate transient worker crashes
         shuffle_partitions=max(cores, 8),
         extra_conf=conf,
     )
@@ -165,9 +165,13 @@ def run_headline(sf_dir: str) -> dict:
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # keep the bench line intact on a one-off
+            log(f"  {name} FAILED: {str(e)[:200]}")
+            times[name] = -1.0
         log(f"  {name:24s} {times[name]:7.2f}s")
     spark.stop()
     return times

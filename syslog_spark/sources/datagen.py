@@ -108,6 +108,21 @@ REAL_NGINX_ACCESS_2 = (
     'sent_http_content_language="-" sent_http_content_length="168" '
     'sent_http_location="-" status="404"]'
 )
+REAL_NGINX_ACCESS_3 = (
+    '<190>Oct 13 17:55:29 hostname nginx: [request body_bytes_sent="168" '
+    'bytes_sent="322" connection="4" connection_requests="1" '
+    'content_length="-" content_type="-" remote_addr="192.168.1.255" '
+    'remote_port="51999" request_length="86" request_method="GET" '
+    'request_time="0.000" request_uri="/not/found" status="404" '
+    'http_accept="*/*" http_accept_encoding="-" http_accept_language="-" '
+    'http_content_length="-" http_content_type="-" '
+    'http_host="192.168.1.254" http_origin="-" http_referer="-" '
+    'http_user_agent="curl/7.43.0" http_dnt="-" http_x_do_not_track="-" '
+    'http_x_requested_with="-" http_x_forwarded_host="-" '
+    'http_x_forwarded_for="-" sent_http_content_encoding="-" '
+    'sent_http_content_language="-" sent_http_content_length="168" '
+    'sent_http_location="-"]'
+)
 REAL_NGINX_ERROR_QUOTED_KEY = (
     '<187>Oct 13 12:31:40 hostname nginx: 2015/10/13 01:31:40 [error] '
     '1187#1187: *46 open() "/usr/share/nginx/html/test" failed '
@@ -141,6 +156,7 @@ def corpus() -> list[tuple[str, str, str]]:
         ("nginx_access/long", A, LONG_NGINX_ACCESS),
         ("nginx_access/real-1", A, REAL_NGINX_ACCESS_1),
         ("nginx_access/real-2", A, REAL_NGINX_ACCESS_2),
+        ("nginx_access/real-3", A, REAL_NGINX_ACCESS_3),
         ("nginx_error/minimum", E, MINIMUM_NGINX_ERROR),
         ("nginx_error/regular", E, REGULAR_NGINX_ERROR),
         ("nginx_error/long", E, LONG_NGINX_ERROR),

@@ -76,3 +76,20 @@ def test_parse_synth_generator(spark):
         == 0
     )
     parsed.unpersist()
+
+
+def test_new_parser_fixed_format(spark):
+    """NewParser analogue (syslog.go:172-176): format bound once."""
+    import pytest as _pytest
+
+    from syslog_spark.operators.parse import new_parser
+    from syslog_spark.sources import datagen as D
+
+    parse = new_parser("rfc5424", Y, TZ)
+    df = spark.createDataFrame(
+        [("r1", D.REGULAR_RFC5424)], "doc_id string, line string"
+    )
+    row = parse(df).collect()[0]
+    assert row["priority"] == 191 and row["hostname"] == "hostname"
+    with _pytest.raises(ValueError):
+        new_parser("rfc3164")
