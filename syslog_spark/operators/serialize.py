@@ -130,10 +130,108 @@ def serialize_batch(
     return body.mask(priority.isna(), None)
 
 
-def with_canonical(df, out_col: str = "canonical"):
-    """Append the canonical serialized line (null for error rows)."""
+def canonical_line_expr():
+    """Pure-Catalyst Message.Bytes (syslog.go:42-71) — zero Python.
+
+    Matches oracle.serialize exactly for rows whose param values contain
+    no control characters (go_quote's \\n/\\t/\\xNN escapes need the
+    pandas engine, `with_canonical(engine="pandas")`); backslash and
+    double-quote escaping IS handled here. Timestamps re-emitted as
+    RFC3339Nano with trailing-zero-trimmed fractions and 'Z' for UTC;
+    wall time reconstructed from ts_micros + tz_offset_seconds (session
+    timezone must be UTC — session.py pins it)."""
+    from pyspark.sql import functions as F
+
+    head = F.concat(
+        F.lit("<"), F.col("priority").cast("string"), F.lit(">"),
+        F.when(F.col("version") != 0, F.col("version").cast("string"))
+        .otherwise(""),
+    )
+
+    # strip the sub-second part exactly: micros carry nanos//1000
+    wall = F.timestamp_micros(
+        (F.col("ts_micros") - F.floor(F.col("ts_nanos") / 1000)).cast("long")
+        + F.col("tz_offset_seconds").cast("long") * 1_000_000
+    )
+    frac = F.when(
+        F.col("ts_nanos") > 0,
+        F.concat(
+            F.lit("."),
+            F.regexp_replace(
+                F.format_string("%09d", F.col("ts_nanos")), "0+$", ""
+            ),
+        ),
+    ).otherwise("")
+    off = F.col("tz_offset_seconds")
+    offstr = F.when(off == 0, F.lit("Z")).otherwise(
+        F.concat(
+            F.when(off >= 0, F.lit("+")).otherwise(F.lit("-")),
+            F.format_string(
+                "%02d:%02d",
+                F.floor(F.abs(off) / 3600).cast("int"),
+                F.floor((F.abs(off) % 3600) / 60).cast("int"),
+            ),
+        )
+    )
+    ts_str = F.when(F.col("ts_micros").isNull(), F.lit("-")).otherwise(
+        F.concat(F.date_format(wall, "yyyy-MM-dd'T'HH:mm:ss"), frac, offstr)
+    )
+
+    def val(c):
+        t = F.trim(F.col(c))
+        return F.when(F.col(c) == "", "-").otherwise(t)
+
+    # go-quote subset: escape backslash then double-quote (oracle._go_quote)
+    def quote(v):
+        return F.concat(
+            F.lit('"'),
+            F.regexp_replace(
+                F.regexp_replace(v, r"\\", r"\\\\"), '"', '\\\\"'
+            ),
+            F.lit('"'),
+        )
+
+    params_str = lambda b: F.aggregate(  # noqa: E731
+        b["params"],
+        F.lit(""),
+        lambda acc, p: F.concat(
+            acc, F.lit(" "), p["key"], F.lit("="), quote(p["value"])
+        ),
+    )
+    data_str = F.when(
+        F.col("data").isNull() | (F.size("data") == 0), F.lit("-")
+    ).otherwise(
+        F.aggregate(
+            F.transform(
+                F.col("data"),
+                lambda b: F.concat(
+                    F.lit("["), b["sd_id"], params_str(b), F.lit("]")
+                ),
+            ),
+            F.lit(""),
+            lambda acc, s: F.concat(acc, s),
+        )
+    )
+    body = F.concat_ws(
+        " ", head, ts_str, val("hostname"), val("appname"), val("proc_id"),
+        val("msg_id"), data_str,
+    )
+    line = F.when(F.col("message") != "", F.concat(body, F.lit(" "), F.col("message"))).otherwise(body)
+    return F.when(F.col("priority").isNull(), F.lit(None)).otherwise(line)
+
+
+def with_canonical(df, out_col: str = "canonical", engine: str = "sql"):
+    """Append the canonical serialized line (null for error rows).
+
+    engine="sql": pure JVM expression (whole-stage codegen; the default —
+    exact except go_quote's control-character escapes).
+    engine="pandas": the vectorized python serializer, total for any
+    value content."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    if engine == "sql":
+        return df.withColumn(out_col, canonical_line_expr())
 
     @F.pandas_udf(T.StringType())
     def _ser(

@@ -37,13 +37,54 @@ def synth(spark, tmp_path_factory):
     return path
 
 
-def test_serialize_matches_oracle(spark, parsed):
-    rows = with_canonical(parsed).select("doc_id", "canonical").collect()
+@pytest.mark.parametrize("engine", ["sql", "pandas"])
+def test_serialize_matches_oracle(spark, parsed, engine):
+    rows = with_canonical(parsed, engine=engine).select(
+        "doc_id", "canonical"
+    ).collect()
     got = {r["doc_id"]: r["canonical"] for r in rows}
     for name, fmt, line in D.corpus():
         r = O.parse_message(line, fmt, Y, TZ)
         want = None if r.msg is None else O.serialize(r.msg)
-        assert got[name] == want, name
+        assert got[name] == want, (engine, name)
+
+
+def test_serialize_fuzz_parity(spark):
+    """SQL-engine canonical == oracle canonical over fuzzed VALID parses
+    (year 0000, odd offsets, multi-block SD, empty params...)."""
+    import random
+
+    from syslog_spark.operators.parse import parse_lines
+
+    rng = random.Random(99)
+    lines = []
+    for i in range(300):
+        pri = rng.randrange(0, 192)
+        ver = rng.choice(["1", "9", "42"])
+        y = rng.choice(["0000", "0001", "1970", "2024", "3000"])
+        frac = rng.choice(["", f".{rng.randrange(1, 10**9):09d}"])
+        off = rng.choice(["+00:00", "+02:00", "-11:30", "+14:00"])
+        ts = rng.choice(["-", f"{y}-01-2{i % 8}T1{i % 9}:0{i % 6}:5{i % 9}{frac}{off}"])
+        sd = rng.choice([
+            "-", "[a]", f'[z k="v{i}"][a x="1" b="2"]',
+            f'[m dup="1" dup="2" nil="-"]',
+        ])
+        msg = rng.choice(["", " msg tail", " x"])
+        lines.append((f"f{i}", f"<{pri}>{ver} {ts} h{i} app - m{i % 9} {sd}{msg}", "rfc5424"))
+    df = spark.createDataFrame(lines, "doc_id string, line string, source string")
+    parsed2 = parse_lines(df, Y, TZ, keep_raw=True)
+    rows = with_canonical(parsed2, engine="sql").select(
+        "doc_id", "raw", "canonical", "error_msg"
+    ).collect()
+    n_ok = 0
+    for r in rows:
+        want = None
+        res = O.parse_message(r["raw"], "rfc5424", Y, TZ)
+        if res.msg is not None:
+            want = O.serialize(res.msg)
+            n_ok += 1
+        assert r["canonical"] == want, r["raw"]
+    assert n_ok > 200  # the fuzz must mostly produce valid parses
 
 
 def test_roundtrip_token_equality(spark, parsed):
