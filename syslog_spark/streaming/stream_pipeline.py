@@ -112,22 +112,30 @@ def run_stream_once(
     out_dir: str,
     checkpoint_dir: str,
 ) -> int:
-    """Drain all available input into a checkpointed parquet routed sink;
-    returns rows written this run. Restart-safe: the checkpoint makes a
-    second invocation a no-op for already-committed files."""
-    parsed = parse_stream(read_token_stream(spark, input_dir))
+    """Drain all available input into a checkpointed routed sink with the
+    SAME fan-out layout as the batch router (operators/route.py): every
+    row lands in its (sink_severity, source) partition, error rows in the
+    sink_severity=-1 dead-letter partition. Returns valid rows written.
+    Restart-safe: the checkpoint makes a second invocation a no-op for
+    already-committed files (exactly-once file sink)."""
+    from ..operators.route import ERROR_SINK, with_sink_key
+
+    parsed = with_sink_key(parse_stream(read_token_stream(spark, input_dir)))
     q = (
-        parsed.filter(F.col("error_msg").isNull())
-        .writeStream.format("parquet")
+        parsed.writeStream.format("parquet")
         .option("path", f"{out_dir}/routed")
         .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("severity")
+        .partitionBy("sink_severity", "source")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     try:
-        return spark.read.parquet(f"{out_dir}/routed").count()
+        return (
+            spark.read.parquet(f"{out_dir}/routed")
+            .filter(F.col("sink_severity") != ERROR_SINK)
+            .count()
+        )
     except Exception:
         return 0

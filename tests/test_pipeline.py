@@ -203,3 +203,40 @@ def test_files_per_sink_salting(spark, synth, tmp_path):
     some_sink = glob.glob(f"{out}/routed/sink_severity=*/source=*")[0]
     nfiles = len(glob.glob(f"{some_sink}/*.parquet"))
     assert 1 <= nfiles <= 3
+
+
+def test_resume_appends_new_sinks(spark, tmp_path):
+    """Incremental run: resume routes ONLY rows of sinks not yet in the
+    manifest; previously completed sinks are untouched."""
+    from syslog_spark.operators.route import read_routed
+    from syslog_spark.sources.datagen import generate_tokens_df
+
+    out = str(tmp_path / "out4")
+    first = generate_tokens_df(spark, 3000, partitions=4)
+    df1 = enrich(parse_tokens(first, Y, TZ))
+    route_write(df1, out, spark, resume=False, write_metrics=False)
+    n1 = read_routed(spark, out).count()
+    manifest1 = spark.read.parquet(f"{out}/manifest")
+    sinks1 = manifest1.count()
+
+    # second batch with a NEW source value -> brand-new sinks
+    second = generate_tokens_df(spark, 500, partitions=2).withColumn(
+        "source", F.concat(F.lit("late/"), F.col("source"))
+    )
+    both = first.unionAll(second)
+    info = route_write(
+        enrich(parse_tokens(both, Y, TZ)), out, spark,
+        resume=True, write_metrics=False,
+    )
+    # only the new sinks' rows were written
+    assert info["skipped_sinks"] == sinks1
+    assert read_routed(spark, out).count() == n1 + 500
+    manifest2 = spark.read.parquet(f"{out}/manifest")
+    assert manifest2.count() > sinks1
+    # original sink rows unchanged
+    assert (
+        read_routed(spark, out)
+        .filter(~F.col("source").startswith("late/"))
+        .count()
+        == n1
+    )

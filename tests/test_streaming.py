@@ -126,3 +126,58 @@ def test_multimodal_oversize_skip(spark):
     assert all(
         r["feature"] is None and "too large" in r["decode_error"] for r in out
     )
+
+
+def test_stream_error_sink_parity(spark, token_dir, tmp_path):
+    """Streaming fan-out matches the batch router's sink layout, including
+    the dead-letter partition and per-sink row counts."""
+    from syslog_spark.operators.enrich import enrich
+    from syslog_spark.operators.parse import parse_tokens
+    from syslog_spark.operators.route import ERROR_SINK, route_write
+    from syslog_spark.streaming.stream_pipeline import run_stream_once
+
+    s_out = str(tmp_path / "stream_out")
+    run_stream_once(spark, token_dir, s_out, str(tmp_path / "ck"))
+    b_out = str(tmp_path / "batch_out")
+    route_write(
+        enrich(parse_tokens(spark.read.parquet(token_dir))),
+        b_out, spark, write_metrics=False,
+    )
+    s_counts = (
+        spark.read.parquet(f"{s_out}/routed")
+        .groupBy("sink_severity", "source").count()
+    )
+    b_counts = (
+        spark.read.parquet(f"{b_out}/routed")
+        .groupBy("sink_severity", "source").count()
+    )
+    assert s_counts.exceptAll(b_counts).count() == 0
+    assert b_counts.exceptAll(s_counts).count() == 0
+    errs = (
+        spark.read.parquet(f"{s_out}/routed")
+        .filter(F.col("sink_severity") == ERROR_SINK).count()
+    )
+    assert errs > 0
+
+
+def test_multimodal_to_ann_composition(spark):
+    """Decoded media features feed the similarity operators directly
+    (array<float> contract)."""
+    from syslog_spark.operators.multimodal import extract_features, synth_media_df
+    from syslog_spark.operators.similarity import brute_force_topk
+
+    feats = extract_features(synth_media_df(spark, 48)).select(
+        F.monotonically_increasing_id().alias("vec_id"),
+        F.col("doc_id").alias("media_id"),
+        F.col("feature").alias("embedding"),
+    ).cache()
+    q = feats.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = brute_force_topk(feats, q, k=3).collect()
+    assert len(top) == 6
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == qid and abs(best["cosine"] - 1.0) < 1e-6
+    feats.unpersist()
