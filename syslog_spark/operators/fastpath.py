@@ -84,6 +84,12 @@ RX_NGINX_ERROR = (
     rf"^{_PRI}{_TS_NGINX} {_v('host')} {_v('app')} (?s:.{{19}}) "
     rf"\[[^\]]*\] (?P<msg>[^,]*), (?P<data>(?s:.+))$"
 )
+# tail-optional forms (stage>=16 EOF tolerance, syslog.go:150-153): message
+# with no comma, bare trailing comma, or comma+space — data stays unset
+RX_NGINX_ERROR_NODATA = (
+    rf"^{_PRI}{_TS_NGINX} {_v('host')} {_v('app')} (?s:.{{19}}) "
+    rf"\[[^\]]*\] (?P<msg>[^,]*)(?:, ?)?$"
+)
 
 # block / param extraction (5424-style structured data). These run over a
 # NUL-joined blob of many rows (one C-level scan instead of per-row calls),
@@ -349,10 +355,13 @@ def _assemble_nginx_pairs_arrow(data_arr: pa.Array):
     """nginx-error 'key: value, ...' -> single-block assoc-list under sd-id
     'data' as an Arrow array. Returns (pa.Array len n, slow_mask)."""
     n = len(data_arr)
+    has_data = pc.is_valid(data_arr).to_numpy(zero_copy_only=False)
     ok = pc.fill_null(
         pc.match_substring_regex(data_arr, RX_NGINX_PAIRS_FULL), False
     ).to_numpy(zero_copy_only=False)
-    slow = ~ok
+    # null data = legitimately absent (tail-optional row): not slow, stays
+    # null; only PRESENT-but-unvalidatable tails go to the oracle
+    slow = has_data & ~ok
     tpos = np.flatnonzero(ok)
     if tpos.size == 0:
         return pa.nulls(n, DATA_T_PA), slow
@@ -470,14 +479,26 @@ def _extract_with_fallback(lines: pa.Array, rx_main: str, rx_alt: str | None):
     (the empty-final-SD-block form). Returns a StructArray-like dict of
     field name -> pa.Array aligned to lines."""
     st = pc.extract_regex(lines, rx_main)
-    fields = {f.name: st.field(i) for i, f in enumerate(st.type)}
-    matched = pc.is_valid(st).to_numpy(zero_copy_only=False)
+    valid = pc.is_valid(st)
+    # struct-level nulls do NOT propagate into .field() children (missed
+    # rows read as '' there) — mask explicitly
+    fields = {
+        f.name: pc.if_else(valid, st.field(i), pa.scalar(None, pa.string()))
+        for i, f in enumerate(st.type)
+    }
+    matched = valid.to_numpy(zero_copy_only=False)
     if rx_alt is not None and not matched.all():
         miss = np.flatnonzero(~matched)
         st2 = pc.extract_regex(lines.take(pa.array(miss)), rx_alt)
-        m2 = pc.is_valid(st2).to_numpy(zero_copy_only=False)
+        valid2 = pc.is_valid(st2)
+        m2 = valid2.to_numpy(zero_copy_only=False)
         if m2.any():
-            alt = {f.name: st2.field(i) for i, f in enumerate(st2.type)}
+            alt = {
+                f.name: pc.if_else(
+                    valid2, st2.field(i), pa.scalar(None, pa.string())
+                )
+                for i, f in enumerate(st2.type)
+            }
             n = len(lines)
             hit_pos = miss[m2]
             matched[hit_pos] = True
@@ -616,7 +637,8 @@ def parse_nginx_error_fast(lines: pa.Array, ref_year: int, ref_tz: int) -> dict:
     'msg, key: value, ...' tail is handled here; tail-optional EOF cases
     (stage>=16 tolerance, syslog.go:150-153) go to the oracle."""
     out, g, ib = _parse_nginx_common(
-        lines, RX_NGINX_ERROR, None, ref_year, ref_tz, with_msg=True
+        lines, RX_NGINX_ERROR, RX_NGINX_ERROR_NODATA, ref_year, ref_tz,
+        with_msg=True,
     )
     if g is None:
         return out

@@ -72,7 +72,7 @@ def test_fastpath_accepts_wellformed():
         # only grammar-corner cases may fall back
         allowed = {
             "rfc5424/empty-sd-then-msg", "rfc5424/bom-msg",
-            "nginx_error/no-comma-msg", "nginx_error/dangling-pair",
+            "nginx_error/dangling-pair",
         }
         assert set(slow_names) <= allowed, slow_names
 
@@ -122,3 +122,50 @@ def test_detokenize_roundtrip():
     assert batch.column("n_tok").to_pylist() == [
         len(l.encode()) for _, _, l in cases
     ]
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_fuzz_valid_nginx(seed):
+    """Generative fuzz over mostly-VALID nginx lines (quoted keys/values,
+    escapes, '-' params, odd spacing, tail-optional forms)."""
+    rng = random.Random(seed)
+
+    def word(n=6):
+        return "".join(rng.choice("abcdefghij0189_./*") for _ in range(n))
+
+    lines, fmts = [], []
+    for i in range(2500):
+        pri = rng.randrange(0, 192)
+        mon = rng.choice(["Jan", "Oct", "Dec", "jAn", "SEP"])
+        day = rng.choice([" 1", "28", "19", " 9"])
+        ts = f"{mon} {day} 0{rng.randrange(10)}:5{rng.randrange(10)}:1{rng.randrange(10)}"
+        host, app = word(4), word(3) + rng.choice([":", "", "::"])
+        if rng.random() < 0.5:
+            params = " ".join(
+                f'{word(4)}="{rng.choice([word(5), "-", "a b c", "x=y", ""])}"'
+                for _ in range(rng.randrange(1, 5))
+            )
+            data = rng.choice([f"[req {params}]", "[req]", "-",
+                               f"[a {params}][b {params}]"])
+            lines.append(f"<{pri}>{ts} {host} {app} {data}")
+            fmts.append("nginx_access")
+        else:
+            msg = rng.choice(["m", "open() failed (2: nope)", "", "a b c"])
+            pair_pool = [
+                f"{word(3)}: {word(4)}",
+                f'{word(3)}: "{word(3)} {word(3)}"',
+                f'"{word(2)} k": {word(3)}',
+                f'{word(3)}: "es\\"c"',
+                f"{word(3)}:",
+            ]
+            pairs = ", ".join(rng.choice(pair_pool) for _ in range(rng.randrange(0, 4)))
+            tail = rng.choice([f"{msg}, {pairs}" if pairs else f"{msg},", msg,
+                               f"{msg},", f"{msg}, "])
+            lines.append(
+                f"<{pri}>{ts} {host} {app} 0001/01/01 01:01:01 "
+                f"[{word(4)}] {tail}"
+            )
+            fmts.append("nginx_error")
+    got = batch_rows(lines, fmts)
+    for line, fmt, g in zip(lines, fmts, got):
+        assert g == oracle_row(line, fmt), repr(line)
