@@ -6,12 +6,15 @@ space-trimmed, structured data with both key levels sorted (already sorted
 in our canonical storage form), ' message' only when non-empty, RFC3339Nano
 timestamps with trailing-zero-trimmed fractions and 'Z' for UTC.
 
-Implemented as a vectorized pandas UDF: scalar fields via pandas/numpy
-batch ops; the nested structured-data string is the only per-row join
-(bounded by params-per-row). Used for the token round-trip invariant
-(SURVEY.md §1.2) and as the user-facing re-emit operator. Row-set
-checksums for routing parity do NOT use this (they use JVM-side
-to_json+xxhash64 in operators/route.py — zero Python).
+Two engines, result-identical on log-safe values (both tested against the
+byte-exact oracle):
+  * "sql" (default) — pure Catalyst expression (canonical_line_expr),
+    zero Python, whole-stage codegen; covers backslash/quote escaping.
+  * "pandas" — vectorized python serializer; additionally covers
+    go_quote's control-character escapes (\\n/\\t/\\xNN).
+Used for the token round-trip invariant (SURVEY.md §1.2) and as the
+user-facing re-emit operator. Row-set checksums for routing parity do
+NOT use this (operators/route.py hashes the canonical tuple directly).
 """
 
 from __future__ import annotations
@@ -19,7 +22,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .fastpath import _DIM_BASE  # noqa: F401  (shared civil-date tables)
 
 
 def _civil_from_days_np(z):

@@ -29,7 +29,7 @@ Known intentional divergences (documented in SURVEY.md §1.4):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from . import constants as C
 
