@@ -358,3 +358,82 @@ def test_generate_string():
     assert D.generate_string("", 26) == "abcdefghijklmnopqrstuvwxyz"
     assert D.generate_string("myPrefix", 10) == "myPrefixab"
     assert D.generate_string("myPrefix", 34) == "myPrefixabcdefghijklmnopqrstuvwxyz"
+
+
+# --- leftover-buffer tables (parsers_test.go discard family + singles) --------
+
+
+def _run_stage(stage, inp):
+    cur = O.Cursor(inp.encode())
+    m = O.Msg()
+    err = None
+    try:
+        stage(cur, m)
+    except (O.Eof, O.FormatError) as e:
+        err = e
+    return m, err, cur.read_all().decode()
+
+
+@pytest.mark.parametrize("inp,err_eof,leftover", [
+    ("", True, ""), ("1234", True, ""), ("12345", False, ""),
+    ("123456", False, "6"),
+])
+def test_discard_table(inp, err_eof, leftover):
+    _, err, left = _run_stage(O.discard(5), inp)
+    assert isinstance(err, O.Eof) == err_eof and left == leftover
+
+
+@pytest.mark.parametrize("inp,errtxt,leftover", [
+    ("", "EOF", ""), ("a", None, ""), ("abc", None, "bc"),
+    ("bc", "syslog: format incorrect: expected byte 'a', but got 'b', at column 1", ""),
+    ("cba", "syslog: format incorrect: expected byte 'a', but got 'c', at column 1", ""),
+])
+def test_discard_byte_table(inp, errtxt, leftover):
+    _, err, left = _run_stage(O.discard_byte("a"), inp)
+    if errtxt == "EOF":
+        assert isinstance(err, O.Eof)
+    elif errtxt:
+        assert str(err) == errtxt
+    else:
+        assert err is None and left == leftover
+
+
+@pytest.mark.parametrize("inp,err_eof,leftover", [
+    ("", True, ""), ("bcdef", True, ""), ("a", False, ""),
+    ("abc", False, "bc"), ("cba", False, ""),
+])
+def test_discard_until_table(inp, err_eof, leftover):
+    _, err, left = _run_stage(O.discard_until("a"), inp)
+    assert isinstance(err, O.Eof) == err_eof
+    if not err_eof:
+        assert left == leftover
+
+
+@pytest.mark.parametrize("inp,errtxt,leftover", [
+    (" ", None, ""), (" abc", None, "abc"),
+    ("bc", "syslog: format incorrect: expected byte ' ', but got 'b', at column 1", ""),
+    ("cb ", "syslog: format incorrect: expected byte ' ', but got 'c', at column 1", ""),
+])
+def test_discard_space_table(inp, errtxt, leftover):
+    _, err, left = _run_stage(O.discard_space, inp)
+    if errtxt:
+        assert str(err) == errtxt
+    else:
+        assert err is None and left == leftover
+
+
+@pytest.mark.parametrize("inp,val,leftover", [
+    ("-", "", ""), ("h", "h", ""), ("host", "host", ""),
+    ("hostname ", "hostname", " "),
+])
+def test_hostname_leftover_table(inp, val, leftover):
+    m, err, left = _run_stage(O.parse_hostname, inp)
+    assert err is None and m.hostname == val and left == leftover
+
+
+def test_version_leftover():
+    # version consumes only its digits; the following space stays
+    m, err, left = _run_stage(O.parse_version, "10 x")
+    assert err is None and m.version == 10 and left == " x"
+    m, err, left = _run_stage(O.parse_version, "")
+    assert err is None and m.version == 0
