@@ -78,13 +78,20 @@ _RFC_LINE_DUCK = (
 )
 
 
+def _spread(df, spark):
+    """The single-file testdata parquet reads as ONE partition — spread the
+    constructed lines across the cores before the parse stage (a real log
+    corpus arrives in many files; this keeps the query plan representative)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _rfc_lines_df(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    return ev.select(
+    return _spread(ev.select(
         F.col("event_id").cast("string").alias("doc_id"),
         F.expr(_RFC_LINE_SPARK).alias("line"),
         F.lit("rfc5424").alias("source"),
-    )
+    ), spark)
 
 
 def _parse_rfc(spark, sf_dir):
@@ -162,7 +169,7 @@ def q_parse_timestamps(spark, sf_dir):
         ).alias("line"),
         F.lit("rfc5424").alias("source"),
     )
-    p = parse_lines(lines)
+    p = parse_lines(_spread(lines, spark))
     return p.select(
         "doc_id",
         F.col("ts_micros").alias("ts_micros"),
@@ -182,7 +189,7 @@ def q_parse_nginx_access(spark, sf_dir):
         F.expr(line).alias("line"),
         F.lit("nginx_access").alias("source"),
     )
-    p = parse_lines(lines)
+    p = parse_lines(_spread(lines, spark))
     params = F.col("data")[0]["params"]
     return p.select(
         "doc_id",
@@ -212,7 +219,7 @@ def q_parse_nginx_error(spark, sf_dir):
         F.expr(line).alias("line"),
         F.lit("nginx_error").alias("source"),
     )
-    p = parse_lines(lines)
+    p = parse_lines(_spread(lines, spark))
     params = F.col("data")[0]["params"]
 
     def param(k):
@@ -239,7 +246,7 @@ def q_serialize_roundtrip(spark, sf_dir):
         F.expr(line).alias("line"),
         F.lit("rfc5424").alias("source"),
     )
-    p = with_canonical(parse_lines(lines, keep_raw=True))
+    p = with_canonical(parse_lines(_spread(lines, spark), keep_raw=True))
     return p.select(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("canonical") == F.col("raw"), 1)).alias(
@@ -259,7 +266,7 @@ def q_error_sink(spark, sf_dir):
         F.expr(line).alias("line"),
         F.lit("rfc5424").alias("source"),
     )
-    p = parse_lines(lines)
+    p = parse_lines(_spread(lines, spark))
     return p.select(
         "doc_id", "error_msg",
         F.col("error_column").cast("bigint").alias("error_column"),
@@ -284,7 +291,7 @@ def q_error_classes(spark, sf_dir):
         F.expr(line).alias("line"),
         F.lit("rfc5424").alias("source"),
     )
-    p = parse_lines(lines)
+    p = parse_lines(_spread(lines, spark))
     return p.select(
         "doc_id", "error_msg",
         F.col("error_column").cast("bigint").alias("error_column"),

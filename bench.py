@@ -162,6 +162,13 @@ def run_headline(sf_dir: str) -> dict:
 
     spark = session(CPUS)
     qs = E.queries()
+    # warm python workers + JIT once so per-query times are steady-state
+    try:
+        qs["parse_rfc5424_fields"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.monotonic()
