@@ -16,7 +16,7 @@ run anti-joins them out. Per-partition lineage rows land in <out>/metrics.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
