@@ -135,6 +135,17 @@ def q_enrich_tenant(spark, sf_dir):
     )
 
 
+def q_enrich_joins(spark, sf_dir):
+    """Broadcast-join enrichment over PARSED rows (the §2.8 join path,
+    end-to-end through the hash gate): construct -> parse -> join dims."""
+    from syslog_spark.operators.enrich import enrich_with_joins
+
+    p = enrich_with_joins(_parse_rfc(spark, sf_dir), spark)
+    return p.select(
+        "doc_id", "facility_name", "severity_name", "tenant",
+    )
+
+
 def q_parse_rfc5424_fields(spark, sf_dir):
     p = _parse_rfc(spark, sf_dir)
     return p.select(
@@ -627,6 +638,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "enrich_tenant": f"""
             SELECT doc_id, source, {_TENANT_DUCK} AS tenant FROM documents""",
+        "enrich_joins": f"""
+            SELECT CAST(event_id AS VARCHAR) AS doc_id,
+                   {_case_sql("((event_id % 192) // 8)", C.FACILITY_NAMES)}
+                       AS facility_name,
+                   {_case_sql("((event_id % 192) % 8)", C.SEVERITY_NAMES)}
+                       AS severity_name,
+                   'tenant_' || ((ascii('r') + length('rfc5424')) % 4)
+                       AS tenant
+            FROM events""",
         "parse_rfc5424_fields": """
             SELECT CAST(event_id AS VARCHAR) AS doc_id,
                    event_id % 192 AS priority,
@@ -823,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_decode": q_priority_decode,
         "priority_names": q_priority_names,
         "enrich_tenant": q_enrich_tenant,
+        "enrich_joins": q_enrich_joins,
         "parse_rfc5424_fields": q_parse_rfc5424_fields,
         "parse_rfc5424_data": q_parse_rfc5424_data,
         "parse_timestamps": q_parse_timestamps,
