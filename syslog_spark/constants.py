@@ -77,6 +77,18 @@ BOM = b"\xef\xbb\xbf"  # stripped from MSG (parsers.go:42, 284)
 GO_ASCII_SPACE = "\t\n\r "
 # ASCII subset of unicode.IsSpace (enough for byte-level trims):
 GO_TRIM_SPACE = "\t\n\v\f\r \x85\xa0"
+# Full unicode.IsSpace / White_Space set (what bytes.TrimSpace trims after
+# its ASCII fast loop). NOTE: Python's default str.strip() additionally
+# treats \x1c-\x1f (FS/GS/RS/US, bidi class B/S) as whitespace — Go does
+# NOT, so Go-faithful trims must use this explicit set.
+GO_WHITE_SPACE = (
+    "\t\n\x0b\x0c\r \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+# ASCII-only projection of GO_WHITE_SPACE (the fast path is ASCII-gated,
+# so this is the exact trim set there).
+GO_WHITE_SPACE_ASCII = "\t\n\x0b\x0c\r "
 
 # --- format names -------------------------------------------------------------
 FORMAT_RFC5424 = "rfc5424"

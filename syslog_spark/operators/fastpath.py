@@ -367,13 +367,15 @@ def _assemble_nginx_pairs_arrow(data_arr: pa.Array):
         return pa.nulls(n, DATA_T_PA), slow
     todo_vals = data_arr.take(pa.array(tpos)).to_pylist()
     pgid, occ, groups = _blob_finditer(RX_NGINX_PAIR, todo_vals)
-    # quoted parts: unescape \" ; unquoted: right-trim (unicode space; the
-    # fast path is ASCII-gated so python rstrip == Go TrimRightFunc here)
+    # quoted parts: unescape \" ; unquoted: right-trim with the Go space
+    # set (bare rstrip() would also strip \x1c-\x1f — Go TrimRightFunc
+    # with unicode.IsSpace does not; input is ASCII-gated)
+    _ws = C.GO_WHITE_SPACE_ASCII
     keys = np.empty(len(groups), dtype=object)
     vals = np.empty(len(groups), dtype=object)
     for i, (kq, ku, vq, vu) in enumerate(groups):
-        keys[i] = kq.replace('\\"', '"') if kq is not None else ku.rstrip()
-        vals[i] = vq.replace('\\"', '"') if vq is not None else (vu or "").rstrip()
+        keys[i] = kq.replace('\\"', '"') if kq is not None else ku.rstrip(_ws)
+        vals[i] = vq.replace('\\"', '"') if vq is not None else (vu or "").rstrip(_ws)
     t = len(tpos)
     params_list = _params_list_array(pgid, keys, vals, occ, t)
     struct = pa.StructArray.from_arrays(
@@ -549,8 +551,10 @@ def parse_rfc5424_fast(lines: pa.Array, ref_year: int, ref_tz: int) -> dict:
     out["slow"][idx[bad]] = True
     data = _assemble_sd_arrow(g["data"])
     # msg group: null when absent -> "" (Go: message stays zero-valued);
-    # trim is unicode-whitespace (ASCII-gated input => same as Go/pandas)
-    msg = pc.utf8_trim_whitespace(pc.fill_null(g["msg"], ""))
+    # trim with the Go space set — utf8_trim_whitespace would also strip
+    # \x1c-\x1f, which Go's bytes.TrimSpace does not (input is ASCII-gated
+    # so the ASCII projection of unicode.IsSpace is exact here)
+    msg = pc.utf8_trim(pc.fill_null(g["msg"], ""), C.GO_WHITE_SPACE_ASCII)
 
     out["priority"] = _scatter(pri, idx, n, "np")
     out["version"] = _scatter(ver, idx, n, "np")
@@ -610,7 +614,7 @@ def _parse_nginx_common(lines, rx_main, rx_alt, ref_year, ref_tz, with_msg):
     out["proc_id"] = _scatter(empty, idx, n, "pa")
     out["msg_id"] = _scatter(empty, idx, n, "pa")
     if with_msg:
-        msg = pc.utf8_trim_whitespace(pc.fill_null(g["msg"], ""))
+        msg = pc.utf8_trim(pc.fill_null(g["msg"], ""), C.GO_WHITE_SPACE_ASCII)
         out["message"] = _scatter(msg, idx, n, "pa")
     else:
         out["message"] = _scatter(empty, idx, n, "pa")

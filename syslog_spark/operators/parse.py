@@ -53,7 +53,7 @@ def detokenize_array(tokens: pa.Array) -> pa.Array:
         u8 = flat.cast(pa.uint8())  # safe cast: raises if a token > 255
         data = u8.to_numpy(zero_copy_only=False)  # contiguous uint8
         lengths = tokens.value_lengths().to_numpy(zero_copy_only=False)
-        lengths = np.nan_to_num(lengths.astype(np.int64, copy=False))
+        lengths = np.nan_to_num(lengths).astype(np.int64, copy=False)
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lengths, out=offsets[1:])
         assert offsets[-1] == len(data) and offsets[-1] < 2**31
@@ -62,7 +62,16 @@ def detokenize_array(tokens: pa.Array) -> pa.Array:
             n,
             [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(data)],
         )
-        return binary.cast(pa.string())
+        out = binary.cast(pa.string())
+        if tokens.null_count:
+            # preserve null token rows as null lines (they become error
+            # rows downstream), not empty strings
+            import pyarrow.compute as pc
+
+            out = pc.if_else(
+                pc.is_valid(tokens), out, pa.scalar(None, pa.string())
+            )
+        return out
     except (pa.ArrowInvalid, AssertionError):
         # slow fallback for pathological inputs (invalid UTF-8 / huge batch)
         return pa.array(
@@ -184,11 +193,19 @@ def _parse_lines_batch(lines_arr: pa.Array, source_arr: pa.Array,
         pc.match_substring_regex(lines_arr, r"[^\x01-\x7f]"), True
     ).to_numpy(zero_copy_only=False)
 
+    # null lines -> error rows directly (the oracle, like the reference's
+    # []byte API, has no null concept; without this a null row would
+    # TypeError inside the worker and kill the whole batch)
+    nullmask = pc.is_null(lines_arr).to_numpy(zero_copy_only=False)
+    if nullmask.any():
+        full["slow"][nullmask] = False
+        full["error_msg"][nullmask] = "null line"
+
     chunks: dict[str, list] = {k: [] for k in _ARROW_COLS}
     oracle_rows: dict[str, list] = {k: [] for k in (*_STR_COLS, "data_pa", "pos")}
 
     for fmt, parser in fastpath.FAST_PARSERS.items():
-        fmask = fmt_masks[fmt]
+        fmask = fmt_masks[fmt] & ~nullmask
         oidx = np.flatnonzero(fmask & ineligible)
         if oidx.size:
             for i, line in zip(

@@ -6,12 +6,14 @@ space-trimmed, structured data with both key levels sorted (already sorted
 in our canonical storage form), ' message' only when non-empty, RFC3339Nano
 timestamps with trailing-zero-trimmed fractions and 'Z' for UTC.
 
-Two engines, result-identical on log-safe values (both tested against the
-byte-exact oracle):
+Two engines, result-identical on any all-ASCII values (both tested against
+the byte-exact oracle):
   * "sql" (default) — pure Catalyst expression (canonical_line_expr),
-    zero Python, whole-stage codegen; covers backslash/quote escaping.
+    zero Python, whole-stage codegen; covers backslash/quote escaping and
+    ALL ASCII control-character escapes (\\a..\\v named + \\xNN).
   * "pandas" — vectorized python serializer; additionally covers
-    go_quote's control-character escapes (\\n/\\t/\\xNN).
+    go_quote's \\uNNNN escapes for non-printable NON-ASCII runes in param
+    values (the only divergence left in the sql engine).
 Used for the token round-trip invariant (SURVEY.md §1.2) and as the
 user-facing re-emit operator. Row-set checksums for routing parity do
 NOT use this (operators/route.py hashes the canonical tuple directly).
@@ -21,6 +23,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+
+from .. import constants as C
 
 
 
@@ -120,8 +124,12 @@ def serialize_batch(
         )
 
     def val(col):
-        s = col.fillna("").str.strip()
-        return s.mask(s == "", "-")
+        # Go addValue (syslog.go:85-93) checks value == "" BEFORE
+        # TrimSpace: whitespace-only values serialize as an EMPTY token
+        # (double space), not '-'. Trim set is Go unicode.IsSpace, which
+        # excludes \x1c-\x1f (Python's default strip would take those).
+        s = col.fillna("")
+        return s.str.strip(C.GO_WHITE_SPACE).mask(s == "", "-")
 
     body = (
         head + " " + ts_str + " " + val(hostname) + " " + val(appname)
@@ -135,10 +143,12 @@ def serialize_batch(
 def canonical_line_expr():
     """Pure-Catalyst Message.Bytes (syslog.go:42-71) — zero Python.
 
-    Matches oracle.serialize exactly for rows whose param values contain
-    no control characters (go_quote's \\n/\\t/\\xNN escapes need the
-    pandas engine, `with_canonical(engine="pandas")`); backslash and
-    double-quote escaping IS handled here. Timestamps re-emitted as
+    Matches oracle.serialize exactly for rows whose param values are
+    ASCII (incl. every control character, via go_quote's named + \\xNN
+    escapes); non-printable NON-ASCII runes in param values need the
+    pandas engine (`with_canonical(engine="pandas")`) for Go's \\uNNNN
+    escapes — printable non-ASCII passes through verbatim in both, like
+    Go. Timestamps re-emitted as
     RFC3339Nano with trailing-zero-trimmed fractions and 'Z' for UTC;
     wall time reconstructed from ts_micros + tz_offset_seconds (session
     timezone must be UTC — session.py pins it)."""
@@ -180,18 +190,33 @@ def canonical_line_expr():
     )
 
     def val(c):
-        t = F.trim(F.col(c))
+        # btrim with Go's unicode.IsSpace set — F.trim only strips ' ',
+        # Go TrimSpace strips the full White_Space set; emptiness checked
+        # pre-trim (syslog.go:85-93)
+        t = F.btrim(F.col(c), F.lit(C.GO_WHITE_SPACE))
         return F.when(F.col(c) == "", "-").otherwise(t)
 
-    # go-quote subset: escape backslash then double-quote (oracle._go_quote)
+    # go-quote (oracle._go_quote / strconv.AppendQuote): backslash, quote,
+    # the seven named control escapes, then \xNN for the remaining ASCII
+    # control bytes — a chain of literal replaces, fully codegen'd. Exact
+    # for all-ASCII param values; non-printable NON-ASCII runes (Go \u
+    # escapes) are the one case needing engine="pandas".
+    _CTRL = {
+        "\x07": "\\a", "\x08": "\\b", "\x0c": "\\f", "\n": "\\n",
+        "\r": "\\r", "\t": "\\t", "\x0b": "\\v",
+    }
+
     def quote(v):
-        return F.concat(
-            F.lit('"'),
-            F.regexp_replace(
-                F.regexp_replace(v, r"\\", r"\\\\"), '"', '\\\\"'
-            ),
-            F.lit('"'),
-        )
+        out = F.replace(v, F.lit("\\"), F.lit("\\\\"))
+        out = F.replace(out, F.lit('"'), F.lit('\\"'))
+        for ch, esc in _CTRL.items():
+            out = F.replace(out, F.lit(ch), F.lit(esc))
+        for o in [*range(0x00, 0x20), 0x7F]:
+            ch = chr(o)
+            if ch in _CTRL:
+                continue
+            out = F.replace(out, F.lit(ch), F.lit(f"\\x{o:02x}"))
+        return F.concat(F.lit('"'), out, F.lit('"'))
 
     params_str = lambda b: F.aggregate(  # noqa: E731
         b["params"],

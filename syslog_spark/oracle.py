@@ -29,6 +29,7 @@ Known intentional divergences (documented in SURVEY.md §1.4):
 
 from __future__ import annotations
 
+import unicodedata
 from dataclasses import dataclass
 
 from . import constants as C
@@ -229,22 +230,48 @@ def _all_digits(b: bytes) -> bool:
 
 
 def parse_rfc3339_fixed(s: bytes) -> TimeVal | None:
-    """Strict fixed-width RFC3339 (25 bytes) / RFC3339Nano (35 bytes).
+    """Fixed-width RFC3339 (25 bytes) / RFC3339Nano (35 bytes).
 
-    The reference peeks exactly len(layout) bytes (parsers.go:133-148), so
-    only the two canonical widths can match mid-line: no-fraction with a
-    numeric ±HH:MM offset, or a 9-digit fraction with ±HH:MM.
+    The reference peeks exactly len(layout) bytes (parsers.go:133-148) and
+    hands them to Go time.ParseInLocation, which tries the strict
+    parseRFC3339 fast path and FALLS BACK to the general layout parser, so
+    acceptance is the union of both. Full-consumption forms per width:
+
+    25 bytes:  core ±HH:MM                 (both paths)
+               core [.,] dddd Z            (implicit fractional second:
+               the general parser accepts a fraction after seconds even
+               when the layout has none, '.' or ',' separator; the strict
+               path accepts the '.' form directly)
+    35 bytes:  core [.,] 9-digits ±HH:MM   (canonical RFC3339Nano; ','
+               via the general parser only)
+               core . 14-digits Z          (strict-path quirk: a >9-digit
+               fraction makes parseNanoseconds error but parseRFC3339
+               DISCARDS that error -> accepted with nanos=0)
+
+    'Z' means UTC; numeric offsets are not range-checked (the general
+    parser doesn't, and it is tried whenever the strict one rejects).
     """
     n = len(s)
     if n == 25:
-        frac = b"0"
-        core, off = s[:19], s[19:]
+        if s[19:20] in (b".", b","):
+            frac = s[20:24]
+            if not _all_digits(frac) or s[24:25] != b"Z":
+                return None
+            core, off = s[:19], b"Z"
+        else:
+            frac = b"0"
+            core, off = s[:19], s[19:]
     elif n == 35:
-        if s[19:20] != b".":
-            return None
-        frac = s[20:29]
-        core, off = s[:19], s[29:]
-        if not _all_digits(frac):
+        if s[19:20] == b"." and _all_digits(s[20:34]) and s[34:35] == b"Z":
+            # strict-path >9-digit fraction: error ignored, nanos = 0
+            frac = b"0"
+            core, off = s[:19], b"Z"
+        elif s[19:20] in (b".", b","):
+            frac = s[20:29]
+            core, off = s[:19], s[29:]
+            if not _all_digits(frac):
+                return None
+        else:
             return None
     else:
         return None
@@ -260,19 +287,22 @@ def parse_rfc3339_fixed(s: bytes) -> TimeVal | None:
     h, mi, sec = core[11:13], core[14:16], core[17:19]
     if not all(_all_digits(x) for x in (y, mo, d, h, mi, sec)):
         return None
-    if off[0:1] not in (b"+", b"-") or off[3:4] != b":":
-        return None
-    oh, om = off[1:3], off[4:6]
-    if not (_all_digits(oh) and _all_digits(om)):
-        return None
+    if off == b"Z":
+        offset = 0
+    else:
+        if off[0:1] not in (b"+", b"-") or off[3:4] != b":":
+            return None
+        oh, om = off[1:3], off[4:6]
+        if not (_all_digits(oh) and _all_digits(om)):
+            return None
+        sign = 1 if off[0:1] == b"+" else -1
+        offset = sign * (int(oh) * 3600 + int(om) * 60)
     yv, mov, dv = int(y), int(mo), int(d)
     hv, miv, sv = int(h), int(mi), int(sec)
     if not (1 <= mov <= 12 and 1 <= dv <= days_in_month(yv, mov)):
         return None
     if hv > 23 or miv > 59 or sv > 59:
         return None
-    sign = 1 if off[0:1] == b"+" else -1
-    offset = sign * (int(oh) * 3600 + int(om) * 60)
     nanos = int(frac.ljust(9, b"0"))
     return TimeVal(yv, mov, dv, hv, miv, sv, nanos, offset)
 
@@ -518,10 +548,14 @@ def parse_data(cur: Cursor, msg: Msg) -> None:
 
 
 def parse_msg(cur: Cursor, msg: Msg) -> None:
-    """parsers.go:281-288: trim, strip BOM, trim."""
+    """parsers.go:281-288: trim, strip BOM, trim.
+
+    Trims with Go's unicode.IsSpace set (C.GO_WHITE_SPACE), NOT Python's
+    default str.strip() set \u2014 Python additionally treats \\x1c-\\x1f as
+    whitespace, Go does not."""
     raw = cur.read_all()
-    text = _decode(raw).strip()
-    text = text.removeprefix("\ufeff").strip()
+    text = _decode(raw).strip(C.GO_WHITE_SPACE)
+    text = text.removeprefix("\ufeff").strip(C.GO_WHITE_SPACE)
     msg.message = text
 
 
@@ -622,7 +656,13 @@ def get_value(cur: Cursor, end: str, allow_eof: bool) -> tuple[bytes, bool]:
             break
         value.append(c)
     if not quoted:
-        value = bytearray(_decode(bytes(value)).rstrip().encode("utf-8", "surrogateescape"))
+        # TrimRightFunc(value, unicode.IsSpace), parsers.go:491 — Go's
+        # space set, not Python's (which would also strip \x1c-\x1f)
+        value = bytearray(
+            _decode(bytes(value))
+            .rstrip(C.GO_WHITE_SPACE)
+            .encode("utf-8", "surrogateescape")
+        )
     return bytes(value), hit_eof
 
 
@@ -632,7 +672,7 @@ def parse_nginx_msg(cur: Cursor, msg: Msg) -> None:
     raw, eof = cur.read_slice(ord(","))
     if not eof:
         raw = raw[:-1]
-    msg.message = _decode(raw).strip()
+    msg.message = _decode(raw).strip(C.GO_WHITE_SPACE)
     if eof:
         raise Eof()
 
@@ -790,25 +830,56 @@ def parse_message(
 # ---------------------------------------------------------------------------
 
 
+_GO_CTRL_ESCAPES = {
+    "\a": "\\a",
+    "\b": "\\b",
+    "\f": "\\f",
+    "\n": "\\n",
+    "\r": "\\r",
+    "\t": "\\t",
+    "\v": "\\v",
+}
+
+
+def _go_is_print(ch: str) -> bool:
+    """Go unicode.IsPrint: letters, marks, numbers, punctuation, symbols,
+    and the ASCII space (strconv quotes everything else)."""
+    if ch == " ":
+        return True
+    return unicodedata.category(ch)[0] in "LMNPS"
+
+
 def _go_quote(s: str) -> str:
-    """Subset of Go strconv.AppendQuote sufficient for byte-oriented logs."""
+    """Go strconv.AppendQuote (strconv/quote.go appendQuotedWith):
+    backslash-escape quote/backslash, named escapes \\a\\b\\f\\n\\r\\t\\v,
+    \\xNN for other bytes < 0x20 / 0x7f / invalid-UTF-8 source bytes
+    (surrogateescape range here), \\uNNNN / \\UNNNNNNNN for non-printable
+    runes, printable runes verbatim (syslog.go:115 uses this for SD param
+    values)."""
     out = ['"']
     for ch in s:
         o = ord(ch)
-        if ch == '"':
-            out.append('\\"')
-        elif ch == "\\":
-            out.append("\\\\")
-        elif ch == "\n":
-            out.append("\\n")
-        elif ch == "\t":
-            out.append("\\t")
-        elif ch == "\r":
-            out.append("\\r")
-        elif o < 0x20 or o == 0x7F:
-            out.append(f"\\x{o:02x}")
-        else:
+        if 0xDC80 <= o <= 0xDCFF:
+            # surrogateescape stand-in for an invalid UTF-8 source byte:
+            # Go sees utf8.RuneError with width 1 -> \xNN of the raw byte
+            out.append(f"\\x{o - 0xDC00:02x}")
+        elif ch == '"' or ch == "\\":
+            out.append("\\" + ch)
+        elif o < 0x80:
+            if 0x20 <= o < 0x7F:
+                out.append(ch)
+            elif ch in _GO_CTRL_ESCAPES:
+                out.append(_GO_CTRL_ESCAPES[ch])
+            else:
+                out.append(f"\\x{o:02x}")
+        elif _go_is_print(ch):
             out.append(ch)
+        elif ch in _GO_CTRL_ESCAPES:  # pragma: no cover — all < 0x80
+            out.append(_GO_CTRL_ESCAPES[ch])
+        elif o < 0x10000:
+            out.append(f"\\u{o:04x}")
+        else:
+            out.append(f"\\U{o:08x}")
     out.append('"')
     return "".join(out)
 
@@ -843,7 +914,9 @@ def serialize(msg: Msg) -> str:
         out.append(format_timestamp_rfc3339nano(msg.timestamp))
     out.append(" ")
     for value in (msg.hostname, msg.appname, msg.proc_id, msg.msg_id):
-        out.append(value.strip() if value else "-")
+        # emptiness checked BEFORE the trim (syslog.go:85-93): a
+        # whitespace-only value serializes as an empty token, not '-'
+        out.append(value.strip(C.GO_WHITE_SPACE) if value else "-")
         out.append(" ")
     if not msg.data:
         out.append("-")

@@ -87,6 +87,35 @@ def test_serialize_fuzz_parity(spark):
     assert n_ok > 200  # the fuzz must mostly produce valid parses
 
 
+@pytest.mark.parametrize("engine", ["sql", "pandas"])
+def test_serialize_ctrl_char_parity(spark, engine):
+    """go_quote escape parity vs the oracle for param values carrying
+    every ASCII control byte (named \\a..\\v escapes + \\xNN), plus
+    non-ASCII non-printables on the pandas engine (\\uNNNN)."""
+    from syslog_spark.operators.parse import parse_lines
+
+    vals = [
+        "a\x01b", "\a\b\v\f", "tab\there", "nl\nin", "\x1c\x1d\x1e\x1f",
+        "\x7fdel", "back\\slash", "mix\x02\x03\x04\x05\x06\x0e\x0f",
+        "\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a\x1b",
+    ]
+    if engine == "pandas":
+        vals += ["\x85nel", "\xa0nbsp", "é中ok", "͸"]
+    lines = [
+        (f"c{i}", f'<13>1 - h a - - [id k="{v}"]', "rfc5424")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(lines, "doc_id string, line string, source string")
+    rows = with_canonical(
+        parse_lines(df, Y, TZ, keep_raw=True), engine=engine
+    ).select("raw", "canonical").collect()
+    assert len(rows) == len(vals)
+    for r in rows:
+        res = O.parse_message(r["raw"], "rfc5424", Y, TZ)
+        assert res.msg is not None, r["raw"]
+        assert r["canonical"] == O.serialize(res.msg), repr(r["raw"])
+
+
 def test_roundtrip_token_equality(spark, parsed):
     """serialize(parse(x)) == x for canonical RFC 5424 rows (§1.2)."""
     canon = with_canonical(parsed)
