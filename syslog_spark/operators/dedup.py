@@ -36,12 +36,18 @@ def text_digest(col: Column | str) -> Column:
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(digest, n_docs, doc_ids) for every text occurring more than once."""
+    """(digest, n_docs, keep_doc_id) for every text occurring more than once.
+
+    keep_doc_id is the min id (the survivor ``dedupe_exact`` would keep).
+    Deliberately NO ``collect_list`` of member ids: a degenerate corpus
+    (billions of copies of one document) would materialize the whole group
+    in a single aggregation buffer. min/count aggregate in constant space;
+    members of a group are recoverable by joining back on the digest."""
     return (
         df.groupBy(text_digest(text_col).alias("digest"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("keep_doc_id"),
         )
         .filter(F.col("n_docs") > 1)
     )
@@ -113,14 +119,38 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH.
 
-    Scale shape: explode to (band_id, band_hash, id); self-join happens
-    per bucket via groupBy + pairwise expansion with a bucket-size cap
-    (hot buckets truncated — the cap keeps worst-case work linear; capped
-    buckets are detectable as bucket_size == max_bucket).
+    Scale shape: explode to (band_id, band_hash, id); capping + pairing
+    happen WITHOUT materializing any bucket as an array — a window
+    ``row_number() <= max_bucket`` per (band, bucket) truncates hot
+    buckets in constant memory per row, then a self-equi-join on the
+    bucket key produces the pairs (AQE splits a skewed bucket join at
+    runtime). A degenerate corpus (billions of near-identical docs in one
+    bucket) therefore never OOMs a reducer; truncated buckets are
+    observable via :func:`lsh_bucket_stats`.
     """
+    banded = _minhash_banded(df, text_col, id_col, n_hashes, bands, k, seed)
+    w = Window.partitionBy("band", "bucket").orderBy("id")
+    capped = (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+    )
+    left = capped.select("band", "bucket", F.col("id").alias("a"))
+    right = capped.select("band", "bucket", F.col("id").alias("b"))
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return pairs
+
+
+def _minhash_banded(df, text_col, id_col, n_hashes, bands, k, seed):
+    """(id, band, bucket) exploded banding rows (shared by candidates +
+    stats)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signature(text_col, n_hashes, k, seed)
-    banded = df.select(
+    return df.select(
         F.col(id_col).alias("id"), sig.alias("sig")
     ).select(
         "id",
@@ -136,17 +166,28 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    buckets = banded.groupBy("band", "bucket").agg(
-        F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids"),
-        F.count(F.lit(1)).alias("bucket_size"),
-    ).filter(F.size("ids") > 1)
-    pairs = (
-        buckets.select(F.explode("ids").alias("a"), "ids")
-        .select("a", F.explode("ids").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    seed: int = 42,
+    min_size: int = 2,
+) -> DataFrame:
+    """(band, bucket, bucket_size) for buckets >= min_size — the
+    monitoring side-output for cap tuning: any bucket_size above the
+    candidate cap means ``minhash_lsh_candidates`` truncated it (pairs
+    beyond the first max_bucket ids per bucket were not generated)."""
+    return (
+        _minhash_banded(df, text_col, id_col, n_hashes, bands, k, seed)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") >= min_size)
     )
-    return pairs
 
 
 def jaccard_similarity(df_pairs: DataFrame, docs: DataFrame,

@@ -111,17 +111,23 @@ def route_write(
     spark=None,
     resume: bool = False,
     write_metrics: bool = True,
-    files_per_sink: int = 1,
+    files_per_sink: int | None = None,
     n_write_tasks: int | None = None,
 ) -> dict:
     """Single-pass fan-out write + manifests.
 
-    files_per_sink > 1 salts the shuffle key so a hot sink (skewed
-    severity/source) is written by several tasks — set it to
-    ceil(hot_sink_rows / rows_per_file_target) at scale.
+    files_per_sink salts the shuffle key so a hot sink (skewed
+    severity/source — e.g. one facility dominating) is written by several
+    tasks instead of one. The DEFAULT derives from the cluster's
+    parallelism (P/4, min 2) so the skewed plan never happens without
+    caller tuning; at scale set it explicitly to
+    ceil(hot_sink_rows / rows_per_file_target). files_per_sink=1 restores
+    the exactly-one-file-per-sink layout.
     With resume=True, sinks already in the manifest are skipped via a
     broadcast left_anti join."""
     spark = spark or parsed.sparkSession
+    if files_per_sink is None:
+        files_per_sink = max(2, spark.sparkContext.defaultParallelism // 4)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     # row_cs is materialized BEFORE the shuffle (pipelined with the parse
     # stage) so the manifest scan afterwards reads 8 flat bytes per row

@@ -92,6 +92,68 @@ def rh_signature(vec_col, dim: int, n_bits: int = 64, seed: int = 42) -> Column:
     return sig
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n_bits: int = 64,
+    n_blocks: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, WITHOUT an all-pairs
+    cross join: random-hyperplane signatures (pure Catalyst), pigeonhole
+    block equi-join for candidates, exact cosine verify on candidates only
+    — the same blocked shape as simhash_near_dups (dedup.py).
+
+    Recall: a pair at cosine c has per-bit flip probability arccos(c)/pi;
+    a candidate needs one exact (n_bits/n_blocks)-bit block. At the
+    near-dup thresholds this operator is for (c >= ~0.9, flip p <= 0.15)
+    the miss probability is (1-(1-p)^8)^8 ~ <1e-3 and falls fast as c->1;
+    it is NOT suitable for low thresholds (c ~ 0.5) where an all-pairs or
+    multi-table LSH is required.
+
+    Scale shape: one corpus scan for signatures, explode x n_blocks, one
+    shuffle on (blk, key); candidates are verified with a JVM cosine. No
+    CartesianProduct anywhere in the plan (asserted in tests)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    width = n_bits // n_blocks
+    mask = (1 << width) - 1
+    sig = rh_signature(vec_col, dim, n_bits, seed)
+    base = df.select(
+        F.col(id_col).alias("id"), _vec(vec_col).alias("v"), sig.alias("sig")
+    )
+    blocked = base.select(
+        "id", "v",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftrightunsigned("sig", i * width)
+                    .bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for i in range(n_blocks)
+            ])
+        ).alias("b"),
+    ).select("id", "v", "b.blk", "b.key")
+    left = blocked.select("blk", "key", F.col("id").alias("a"),
+                          F.col("v").alias("va"))
+    right = blocked.select("blk", "key", F.col("id").alias("b"),
+                           F.col("v").alias("vb"))
+    cands = (
+        left.join(right, ["blk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cands.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -123,13 +123,48 @@ def fingerprint_md5(col) -> Column:
     return F.md5(normalized_text(col))
 
 
-POLY_BASE = 1000003
-POLY_MOD = (1 << 61) - 1
+POLY_BASES = (1000003, 999983)  # two independent 31-bit streams
+POLY_MOD = (1 << 31) - 1  # Mersenne-31: byte*power products fit in uint64
+
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _pows(base: int, n: int) -> np.ndarray:
+    """base^0..base^(n-1) mod M31 (cached, grown geometrically). The only
+    loop is over the power table — amortized O(1) per hashed byte."""
+    cur = _POW_CACHE.get(base)
+    if cur is None or len(cur) < n:
+        size = max(n, 1024, 0 if cur is None else 2 * len(cur))
+        out = np.empty(size, dtype=np.uint64)
+        out[0] = 1
+        acc = 1
+        for i in range(1, size):
+            acc = (acc * base) % POLY_MOD
+            out[i] = acc
+        _POW_CACHE[base] = cur = out
+    return cur[:n]
+
+
+def _poly_hash(b: np.ndarray, base: int) -> int:
+    """sum(b[i] * base^(n-1-i)) mod M31, fully vectorized: products are
+    < 2^39 so partial sums of up to 2^24 terms stay below 2^63 — fold a
+    mod in per chunk, no per-byte Python."""
+    n = len(b)
+    pows = _pows(base, n)[::-1]
+    acc = np.uint64(0)
+    chunk = 1 << 24
+    for s in range(0, n, chunk):
+        # powers encode the absolute position, so chunk sums just add
+        part = (b[s:s + chunk].astype(np.uint64) * pows[s:s + chunk]).sum()
+        acc = (acc + part) % np.uint64(POLY_MOD)
+    return int(acc)
 
 
 def rolling_hash_udf():
-    """Polynomial rolling hash of the normalized text (order-sensitive
-    64-bit fingerprint), vectorized with numpy polynomial evaluation."""
+    """Polynomial rolling hash of the text bytes (order-sensitive 62-bit
+    fingerprint): two independent 31-bit Horner streams packed as
+    h1 * 2^31 + h2. numpy-vectorized — one multiply + sum per row over
+    precomputed base powers; no per-byte Python loop."""
 
     @F.pandas_udf(T.LongType())
     def _roll(texts: pd.Series) -> pd.Series:
@@ -137,13 +172,10 @@ def rolling_hash_udf():
         for i, t in enumerate(texts):
             if not t:
                 continue
-            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(object)
-            acc = 0
-            # Horner in python ints (exact mod-2^61-1 arithmetic), but
-            # batched: fold in chunks via precomputed base powers
-            for byte in b:
-                acc = (acc * POLY_BASE + int(byte)) % POLY_MOD
-            out[i] = acc
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            h1 = _poly_hash(b, POLY_BASES[0])
+            h2 = _poly_hash(b, POLY_BASES[1])
+            out[i] = (h1 << 31) | h2
         return pd.Series(out)
 
     return _roll

@@ -28,7 +28,7 @@ def test_exact_dedup(spark, docs):
 
     groups = exact_duplicate_groups(docs).collect()
     assert len(groups) == 1 and groups[0]["n_docs"] == 2
-    assert groups[0]["doc_ids"] == ["d1", "d2"]
+    assert groups[0]["keep_doc_id"] == "d1"
     kept = dedupe_exact(docs)
     assert kept.count() == 6
     assert kept.filter("doc_id = 'd2'").count() == 0
@@ -117,6 +117,26 @@ def test_lsh_topk_recall(spark):
     assert len(exact & approx) >= 4
 
 
+def test_embedding_near_dups_planted(spark):
+    """Blocked-LSH near-dup finds every planted high-cosine pair, and the
+    exact-cosine verify rejects random pairs — no cross join involved."""
+    from syslog_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.RandomState(2)
+    base = rng.normal(size=(60, 32))
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    # plant near-dups: 100+i is a tiny perturbation of i (cos ~ 0.9999)
+    for i in range(10):
+        v = base[i].copy()
+        v[0] *= 1.001
+        rows.append((100 + i, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["a"], r["b"]) for r in
+           embedding_near_dups(emb, threshold=0.9, dim=32).collect()}
+    want = {(i, 100 + i) for i in range(10)}
+    assert got == want
+
+
 def test_textstats(spark, docs):
     from syslog_spark.operators import textstats as TS
 
@@ -140,7 +160,7 @@ def test_textstats(spark, docs):
 
 def test_rolling_hash(spark, docs):
     from syslog_spark.operators.textstats import (
-        POLY_BASE, POLY_MOD, normalized_text, rolling_hash_udf,
+        POLY_BASES, POLY_MOD, normalized_text, rolling_hash_udf,
     )
 
     out = {r["doc_id"]: r["rh"] for r in docs.select(
@@ -149,12 +169,17 @@ def test_rolling_hash(spark, docs):
     assert out["d1"] == out["d2"] != out["d3"]
 
     def py_roll(t):
-        acc = 0
-        for b in t.encode():
-            acc = (acc * POLY_BASE + b) % POLY_MOD
-        return acc
+        accs = []
+        for base in POLY_BASES:
+            acc = 0
+            for b in t.encode():
+                acc = (acc * base + b) % POLY_MOD
+            accs.append(acc)
+        return (accs[0] << 31) | accs[1]
 
     assert out["d1"] == py_roll("the quick brown fox jumps over the lazy dog")
+    # order sensitivity (fingerprint_md5 of the same words would collide)
+    assert out["d1"] != py_roll("dog lazy the over jumps fox brown quick the")
 
 
 def test_ivf_topk_recall(spark):

@@ -234,6 +234,40 @@ def test_files_per_sink_salting(spark, synth, tmp_path):
     assert 1 <= nfiles <= 3
 
 
+def test_default_salt_splits_hot_sink(spark, tmp_path):
+    """Under DEFAULTS (no files_per_sink tuning) a skewed sink is written
+    by multiple tasks/files, and the manifest checksums equal the
+    unsalted layout's — salting changes the file layout, never the routed
+    row sets."""
+    import glob
+
+    from syslog_spark.sources.datagen import generate_tokens_df
+
+    out_a = str(tmp_path / "salted")
+    out_b = str(tmp_path / "plain")
+    # skew: every row the same (severity, source) sink
+    tok = generate_tokens_df(spark, 4000, partitions=4).withColumn(
+        "source", F.lit("rfc5424/hot")
+    )
+    df = enrich(parse_tokens(tok, Y, TZ))
+    route_write(df, out_a, spark, write_metrics=False)  # default salt
+    route_write(df, out_b, spark, write_metrics=False, files_per_sink=1)
+    sizes = sorted(
+        (len(glob.glob(f"{d}/*.parquet")), d)
+        for d in glob.glob(f"{out_a}/routed/sink_severity=*/source=*")
+    )
+    # the hottest sink must split across >1 file without caller tuning
+    assert sizes[-1][0] > 1, sizes
+    m_a = spark.read.parquet(f"{out_a}/manifest").select(
+        "sink_severity", "source", "rows", "row_set_checksum"
+    )
+    m_b = spark.read.parquet(f"{out_b}/manifest").select(
+        "sink_severity", "source", "rows", "row_set_checksum"
+    )
+    assert m_a.exceptAll(m_b).count() == 0
+    assert m_b.exceptAll(m_a).count() == 0
+
+
 def test_resume_appends_new_sinks(spark, tmp_path):
     """Incremental run: resume routes ONLY rows of sinks not yet in the
     manifest; previously completed sinks are untouched."""

@@ -79,6 +79,41 @@ def test_manifest_scan_prunes_nested(spark, routed_dir):
     assert "sd_id" not in read_schema  # nested data column pruned
 
 
+def test_minhash_candidates_no_bucket_materialization(spark):
+    """The LSH candidate path must not materialize buckets: no
+    collect_list / sort_array aggregation buffers (a degenerate one-bucket
+    corpus would OOM a reducer), and no CartesianProduct."""
+    from syslog_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"text number {i} padded padding") for i in range(20)],
+        "doc_id string, text string",
+    )
+    plan = plan_of(minhash_lsh_candidates(df))
+    assert "collect_list" not in plan
+    assert "sort_array" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_neardup_no_cross_join(spark):
+    """embedding_near_dups is the blocked-LSH shape: candidates meet via
+    the (blk, key) equi-join, never an all-pairs cross join."""
+    import numpy as np
+
+    from syslog_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(30, 16))
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    df = embedding_near_dups(emb, threshold=0.9, dim=16)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_single_shuffle_in_route_plan(spark):
     """parse -> enrich -> sink-key assignment stays shuffle-free; the only
     exchange is the explicit routing repartition."""
