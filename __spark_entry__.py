@@ -7,8 +7,12 @@ them with the real engine (syslog_spark.operators.parse), and the oracle
 recomputes the expected fields directly from the same construction — a
 ground-truth check of the parser through the driver's hash gate.
 
-Non-SQL-expressible ops (minhash-LSH near-dup, simhash banding, LSH ANN)
-are exposed rows-only (no oracle entry), as the contract allows.
+Every query has a DuckDB oracle (36/36): probabilistic operators are gated
+either on constructions where their recall is ~1 by design (planted
+near-neighbours, exhaustive IVF probing, high-margin Jaccard pairs) with
+the oracle recomputing the exact answer, or on exact SQL-recomputable
+ground truth (inverted-index all-pairs Jaccard for the documents-table
+near-dup).
 """
 
 from __future__ import annotations
@@ -311,8 +315,10 @@ def q_error_classes(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Rows-only: stubbed decode over the binary media table (real Arrow
-    plumbing, deterministic fake features)."""
+    """Stubbed decode over the binary media table (real Arrow/mapInPandas
+    plumbing, deterministic payloads). Oracle-checked: the synthetic table
+    is SQL-reconstructable (doc ids, modality cycle, feature dim, no
+    decode errors), so the gate pins the full batch contract."""
     from syslog_spark.operators.multimodal import extract_features, synth_media_df
 
     _ensure_shipped(spark)
@@ -321,6 +327,7 @@ def q_multimodal_features(spark, sf_dir):
     return out.select(
         "doc_id", "modality",
         F.size("feature").cast("bigint").alias("feature_dim"),
+        "decode_error",
     )
 
 
@@ -544,61 +551,164 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_dups(docs, max_hamming=3).select("a", "b")
 
 
-# rows-only (no SQL-equivalent oracle): LSH internals use xxhash64/planes
 def q_minhash_neardup(spark, sf_dir):
+    """Minhash-LSH near-dup over the REAL documents table, oracle-checked:
+    DuckDB recomputes exact all-pairs shingle Jaccard (inverted-index
+    formulation) and the LSH output must equal the >= 0.7 pairs exactly.
+    Valid because banding at (64 hashes, 32 bands) detects a J=0.7 pair
+    with p = 1-(1-0.7^2)^32 ~ 1-4e-10 and the verify stage is the same
+    exact Jaccard both sides."""
     from syslog_spark.operators.dedup import near_duplicates_minhash
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "doc_id", F.col("doc_id").cast("string")
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        near_duplicates_minhash(docs, threshold=0.7, bands=32, n_hashes=64)
+        .select(F.col("a").cast("bigint").alias("a"),
+                F.col("b").cast("bigint").alias("b"))
     )
-    return near_duplicates_minhash(docs, threshold=0.5)
 
 
-def q_simhash_neardup(spark, sf_dir):
-    from syslog_spark.operators.dedup import simhash_near_dups
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Blocked-LSH embedding near-dup (the 100-TB shape: no cross join),
+    oracle-checked on a constructed corpus: each vec_id < 200 gets a
+    planted near-copy at +10000 (first coordinate * 1.001, cosine
+    ~0.9999); DuckDB recomputes exact all-pairs cosine. Pigeonhole miss
+    probability at cos 0.9999 is ~1e-12."""
+    from syslog_spark.operators.similarity import embedding_near_dups
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "doc_id", F.col("doc_id").cast("string")
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
     )
-    return simhash_near_dups(docs, max_hamming=8)
+    b = a.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "concat(array(embedding[0] * 1.001d), "
+            "slice(embedding, 2, size(embedding) - 1))"
+        ).alias("embedding"),
+    )
+    return (
+        embedding_near_dups(a.unionAll(b), threshold=0.9, dim=64)
+        .select(F.col("a").cast("bigint").alias("a"),
+                F.col("b").cast("bigint").alias("b"))
+    )
 
 
 def q_ann_ivf(spark, sf_dir):
+    """IVF with exhaustive probing (n_probe = n_centroids): exercises the
+    whole IVF machinery (kmeans quantizer, assignment, probe join, rerank)
+    while the output is provably the exact top-k regardless of where the
+    centroids land — so the DuckDB brute-force SQL is a hash-exact oracle.
+    The pruned path (n_probe < n_centroids) is recall-tested in pytest."""
     from syslog_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
 
 
 def q_ann_lsh(spark, sf_dir):
+    """LSH ANN, oracle-checked on a planted-neighbour corpus: each query
+    (vec_id < 3) gets four perturbed copies (v + eps*reverse(v), eps in
+    0.02..0.08 -> cosines 0.997..0.9997, well separated) so the exact
+    top-5 is {self + 4 plants}; block-LSH recall at those cosines is
+    ~1-1e-5. DuckDB recomputes the exact top-5 with list_cosine_similarity
+    over the same construction."""
     from syslog_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    queries = emb.filter(F.col("vec_id") < 3).select(
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    plants = []
+    for j in range(4):
+        eps = 0.02 * (j + 1)
+        plants.append(
+            base.filter(F.col("vec_id") < 3).select(
+                (F.col("vec_id") * 10 + F.lit(100000 + j)).alias("vec_id"),
+                F.expr(
+                    f"zip_with(embedding, reverse(embedding), "
+                    f"(x, y) -> x + {eps}d * y)"
+                ).alias("embedding"),
+            )
+        )
+    corpus = base
+    for p in plants:
+        corpus = corpus.unionAll(p)
+    queries = base.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, dim=dim, k=5)
+    return lsh_topk(corpus, queries, dim=64, k=5).select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
 
 
 def q_pipeline_smoke(spark, sf_dir):
-    """Full tokens->parse->enrich path on a synthesized token table."""
+    """Full tokens->parse->enrich path, oracle-checked: the token table is
+    SQL-reconstructable (line -> per-byte ascii token arrays from the
+    events table), so detokenize + parse + enrich + rollup runs against a
+    DuckDB-computable severity histogram."""
     from syslog_spark.operators.enrich import enrich
-    from syslog_spark.sources.datagen import generate_tokens_df
 
-    _ensure_shipped(spark)
-    tokens = generate_tokens_df(spark, 5000, partitions=8)
+    ev = _t(spark, sf_dir, "events")
+    tokens = _spread(ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.expr(
+            f"transform(sequence(1, length({_RFC_LINE_SPARK})), "
+            f"i -> cast(ascii(substring({_RFC_LINE_SPARK}, i, 1)) as int))"
+        ).alias("tokens"),
+        F.expr(f"cast(length({_RFC_LINE_SPARK}) as int)").alias("n_tok"),
+        F.lit("rfc5424").alias("source"),
+    ), spark)
     p = enrich(parse_tokens(tokens))
     return (
-        p.groupBy(
+        p.filter(F.col("error_msg").isNull())
+        .groupBy(
             F.col("severity").cast("bigint").alias("severity"),
             "severity_name",
         )
         .agg(F.count(F.lit(1)).alias("rows"))
     )
+
+
+_BOM = "﻿"
+
+
+def q_parse_rfc5424_hard(spark, sf_dir):
+    """Hard grammar corners through the hash gate, checked as full
+    CANONICAL SERIALIZED LINES (parse + map semantics + serializer in one):
+    multiple SD blocks emitted sorted, duplicate param keys last-wins,
+    '-' param values dropped, duplicate sd-id resets the block
+    (parsers.go:205), year-3000 nano timestamp, the implicit-fraction
+    '.ddddZ' timestamp form, BOM-stripped message (non-ASCII -> exercises
+    the oracle path), empty SD block at end-of-line."""
+    ev = _t(spark, sf_dir, "events")
+    h = "cast(pmod(user_id, 9) as int)"
+    e = "cast(event_id as string)"
+    line = (
+        f"case pmod(event_id, 4) "
+        f"when 0 then concat('<13>1 3000-01-02T03:04:05.123456789+05:30 h', {h}, "
+        f"' app - m [zb k=\"v1\" k=\"v2\" drop=\"-\"][aa x=\"', event_type, "
+        f"'\"] {_BOM}msg ev', {e}) "
+        f"when 1 then concat('<180>1 2024-06-07T08:09:10.1234Z h', {h}, "
+        f"' app p7 - [zz a=\"1\"][bb b=\"2\"] tail ev', {e}) "
+        f"when 2 then concat('<0>1 - h', {h}, ' app - - [only]') "
+        f"else concat('<191>1 - h', {h}, ' app - - [dd a=\"1\"][dd b=\"2\"] x ev', {e}) "
+        f"end"
+    )
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.expr(line).alias("line"),
+        F.lit("rfc5424").alias("source"),
+    )
+    p = with_canonical(parse_lines(_spread(lines, spark)))
+    return p.select("doc_id", "canonical")
 
 
 # --- oracle SQL ----------------------------------------------------------------
@@ -806,6 +916,98 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": """
             SELECT 'a-' || event_id AS a, 'b-' || event_id AS b
             FROM events""",
+        "minhash_neardup": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(length(text)-4, 1)),
+                       i -> substring(text, i, 5))) AS s
+              FROM documents
+            ), sz AS (
+              SELECT doc_id, len(s) AS n FROM sh
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            ), common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b FROM common
+            JOIN sz sa ON sa.doc_id = a
+            JOIN sz sb ON sb.doc_id = b
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7""",
+        "embedding_neardup_lsh": """
+            WITH a AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 200
+            ), b AS (
+              SELECT vec_id + 10000 AS vec_id,
+                     list_concat([v[1] * 1.001], v[2:]) AS v
+              FROM a
+            ), c AS (
+              SELECT * FROM a UNION ALL SELECT * FROM b
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM c x, c y
+            WHERE x.vec_id < y.vec_id
+              AND list_cosine_similarity(x.v, y.v) >= 0.9""",
+        "ann_ivf": """
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(
+                       CAST(c.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id < 3
+            QUALIFY rank <= 5""",
+        "ann_lsh": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), plants AS (
+              SELECT b.vec_id * 10 + 100000 + j.j AS vec_id,
+                     list_transform(generate_series(1, len(v)),
+                       i -> v[i] + (0.02 * (j.j + 1)) * v[len(v) - i + 1]) AS v
+              FROM base b, (SELECT unnest([0, 1, 2, 3]) AS j) j
+              WHERE b.vec_id < 3
+            ), corpus AS (
+              SELECT * FROM base UNION ALL SELECT * FROM plants
+            )
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(c.v, q.v) DESC,
+                              c.vec_id) AS rank
+            FROM corpus c, base q
+            WHERE q.vec_id < 3
+            QUALIFY rank <= 5""",
+        "multimodal_features": """
+            SELECT printf('m%04d', i) AS doc_id,
+                   (['image', 'audio', 'video'])[CAST(i % 3 AS INT) + 1]
+                       AS modality,
+                   CAST(64 AS BIGINT) AS feature_dim,
+                   CAST(NULL AS VARCHAR) AS decode_error
+            FROM range(128) t(i)""",
+        "pipeline_smoke": f"""
+            SELECT (event_id % 192) % 8 AS severity,
+                   {_case_sql("((event_id % 192) % 8)", C.SEVERITY_NAMES)}
+                       AS severity_name,
+                   count(*) AS rows
+            FROM events GROUP BY 1, 2""",
+        "parse_rfc5424_hard": """
+            SELECT CAST(event_id AS VARCHAR) AS doc_id,
+              CASE event_id % 4
+                WHEN 0 THEN '<13>1 3000-01-02T03:04:05.123456789+05:30 h'
+                  || (user_id % 9) || ' app - m [aa x="' || event_type
+                  || '"][zb k="v2"] msg ev' || event_id
+                WHEN 1 THEN '<180>1 2024-06-07T08:09:10.1234Z h'
+                  || (user_id % 9) || ' app p7 - [bb b="2"][zz a="1"] tail ev'
+                  || event_id
+                WHEN 2 THEN '<0>1 - h' || (user_id % 9) || ' app - - [only]'
+                ELSE '<191>1 - h' || (user_id % 9)
+                  || ' app - - [dd b="2"] x ev' || event_id
+              END AS canonical
+            FROM events""",
         "embedding_neardup": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a, embeddings b
@@ -868,14 +1070,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_brute_force": q_ann_brute_force,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
-        # rows-only checks (non-SQL-expressible internals)
         "minhash_neardup": q_minhash_neardup,
-        "simhash_neardup": q_simhash_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "pipeline_smoke": q_pipeline_smoke,
+        "parse_rfc5424_hard": q_parse_rfc5424_hard,
     }
 
 
