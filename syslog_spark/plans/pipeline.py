@@ -63,30 +63,28 @@ def run_pipeline(
         df, out_dir, spark, resume=cfg.resume, write_metrics=cfg.write_metrics
     )
     # per-sink aggregates were computed in the same scan as the manifest
-    # (route_write -> sink_stats); materialize the aggregate view from the
-    # tiny manifest table instead of re-scanning the data
-    aggs = (
-        spark.read.parquet(f"{out_dir}/manifest")
-        .filter(F.col("sink_severity") != ERROR_SINK)
-        .withColumnRenamed("sink_severity", "severity")
-        .drop("row_set_checksum")
-    )
-    aggs.write.mode("overwrite").parquet(f"{out_dir}/aggregates")
+    # (route_write -> sink_stats) and collected (tiny: one row per sink);
+    # materialize the aggregate view from those rows — no data re-scan,
+    # no manifest re-read
+    stats_rows = route_info["sink_stats"]
+    if stats_rows:
+        aggs = spark.createDataFrame(stats_rows).filter(
+            F.col("sink_severity") != ERROR_SINK
+        ).withColumnRenamed("sink_severity", "severity").drop(
+            "row_set_checksum"
+        )
+        aggs.coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/aggregates"
+        )
     wall = time.monotonic() - t0
 
-    manifest = spark.read.parquet(f"{out_dir}/manifest")
-    by_kind = (
-        manifest.groupBy(F.col("sink_severity") == ERROR_SINK)
-        .agg(F.sum("rows"), F.count(F.lit(1)))
-        .collect()
-    )
     total = errors = n_sinks = 0
-    for row in by_kind:
-        if row[0]:
-            errors = int(row[1])
+    for row in stats_rows:
+        if row["sink_severity"] == ERROR_SINK:
+            errors += int(row["rows"])
         else:
-            total = int(row[1])
-            n_sinks = int(row[2])
+            total += int(row["rows"])
+            n_sinks += 1
     return {
         "routed_rows": total,
         "error_rows": errors,
@@ -94,4 +92,5 @@ def run_pipeline(
         "skipped_sinks": route_info["skipped_sinks"],
         "wall_seconds": wall,
         "rows_per_sec": (total + errors) / wall if wall > 0 else 0.0,
+        "stage_seconds": route_info.get("stage_seconds", {}),
     }

@@ -37,10 +37,12 @@ def read_tokens(spark: SparkSession, path_or_table: str) -> DataFrame:
 
 def write_tokens(df: DataFrame, path_or_table: str, mode: str = "overwrite"):
     if path_or_table.startswith("iceberg:"):
+        from pyspark.sql import functions as F
+
         name = path_or_table[len("iceberg:"):]
         (
             df.writeTo(name)
-            .partitionedBy("source")
+            .partitionedBy(F.col("source"))  # V2 writer takes Columns
             .createOrReplace()
         )
         return
