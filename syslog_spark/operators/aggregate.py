@@ -79,7 +79,10 @@ def sink_stats(
     if exact_percentiles:
         pct = F.percentile("n_tok", [0.5, 0.95, 0.99])
     else:
-        pct = F.percentile_approx("n_tok", [0.5, 0.95, 0.99], 10_000)
+        # cast first: percentile_approx returns the INPUT element type
+        pct = F.percentile_approx(
+            F.col("n_tok").cast("double"), [0.5, 0.95, 0.99], 10_000
+        )
     if exact_distinct:
         dh = F.count_distinct("hostname")
     else:

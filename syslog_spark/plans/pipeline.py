@@ -68,7 +68,9 @@ def run_pipeline(
     # no manifest re-read
     stats_rows = route_info["sink_stats"]
     if stats_rows:
-        aggs = spark.createDataFrame(stats_rows).filter(
+        from ..operators.route import MANIFEST_SCHEMA
+
+        aggs = spark.createDataFrame(stats_rows, schema=MANIFEST_SCHEMA).filter(
             F.col("sink_severity") != ERROR_SINK
         ).withColumnRenamed("sink_severity", "severity").drop(
             "row_set_checksum"
