@@ -133,58 +133,6 @@ def _manifest_metrics_schemas():
 MANIFEST_SCHEMA, METRICS_SCHEMA = _manifest_metrics_schemas()
 
 
-def _combined_stats(routed: DataFrame):
-    """One grouping-sets scan -> (manifest rows, metrics rows) as dicts.
-
-    grouping_id bit = 1 when a column is aggregated away: with grouping
-    columns (sink_severity, source, input_partition), the per-sink set is
-    gid 0b001 = 1 and the per-partition set is gid 0b110 = 6."""
-    cs = (
-        F.col("row_cs") if "row_cs" in routed.columns else row_checksum()
-    )
-    rows = (
-        routed.groupingSets(
-            [["sink_severity", "source"], ["input_partition"]],
-            "sink_severity", "source", "input_partition",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.bit_xor(cs).alias("row_set_checksum"),
-            F.approx_count_distinct("hostname").alias("distinct_hostnames"),
-            F.approx_count_distinct("doc_id").alias("approx_docs"),
-            F.min("n_tok").alias("min_n_tok"),
-            F.max("n_tok").alias("max_n_tok"),
-            F.sum("n_tok").alias("sum_n_tok"),
-            F.percentile_approx(
-                F.col("n_tok").cast("double"), [0.5, 0.95, 0.99], 10_000
-            ).alias("n_tok_pcts"),
-            F.count(F.when(F.col("error_msg").isNull(), 1)).alias("ok_rows"),
-            F.count(F.when(F.col("error_msg").isNotNull(), 1)).alias(
-                "error_rows"
-            ),
-            F.grouping_id().alias("_gid"),
-        )
-        .collect()
-    )
-    manifest = [
-        {f: r[f] for f in MANIFEST_SCHEMA.fieldNames()}
-        for r in rows
-        if r["_gid"] == 1
-    ]
-    metrics = [
-        {
-            "input_partition": r["input_partition"],
-            "input_rows": r["rows"],
-            "ok_rows": r["ok_rows"],
-            "error_rows": r["error_rows"],
-            "token_bytes": r["sum_n_tok"],
-        }
-        for r in rows
-        if r["_gid"] == 6
-    ]
-    return manifest, metrics
-
-
 def route_write(
     parsed: DataFrame,
     out_dir: str,
@@ -261,24 +209,24 @@ def route_write(
                 "overwrite"
             ).parquet(f"{out_dir}/{METRICS}")
     else:
-        # hot path: ONE grouping-sets scan computes the per-sink manifest
-        # row AND the per-input-partition lineage row together (sketch
-        # partials merge JVM-side); the result is tiny (#sinks +
-        # #partitions rows), collected once, and every derived output —
-        # manifest file, metrics file, routed-row count, callers'
-        # aggregates — comes from the collected rows. No re-scans, no
-        # extra job commits (post-write jobs were ~20% of wall at 8M
-        # rows / 32 cores before folding).
-        stats_rows, part_rows = _combined_stats(routed)
+        # hot path: ONE column-pruned scan computes manifest + per-sink
+        # aggregates (sink_stats: sketch distincts, approx percentiles);
+        # the tiny result is collected once and every derived output —
+        # manifest file, routed-row count, callers' aggregates — comes
+        # from the collected rows. Metrics is its own cheap flat-column
+        # scan. (A grouping-sets fold of the two was tried and REVERTED:
+        # the expand duplicates every row through the sketch updates and
+        # measured 5-33s where the two scans take ~1-2s total.)
+        from .aggregate import sink_stats
+
+        stats_rows = [r.asDict() for r in sink_stats(routed).collect()]
         spark.createDataFrame(
             stats_rows or [], schema=MANIFEST_SCHEMA
         ).coalesce(1).write.mode(mode).parquet(f"{out_dir}/{MANIFEST}")
         if write_metrics:
-            spark.createDataFrame(
-                part_rows or [], schema=METRICS_SCHEMA
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{out_dir}/{METRICS}"
-            )
+            partition_metrics(routed).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/{METRICS}")
     stage_t["manifest_metrics"] = _time.monotonic() - _t0
     n_ok = sum(
         r["rows"] for r in stats_rows if r["sink_severity"] != ERROR_SINK
