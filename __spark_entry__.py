@@ -656,16 +656,20 @@ def q_pipeline_smoke(spark, sf_dir):
     DuckDB-computable severity histogram."""
     from syslog_spark.operators.enrich import enrich
 
-    ev = _t(spark, sf_dir, "events")
-    tokens = _spread(ev.select(
+    # two-step with a shuffle barrier between: the barrier stops Catalyst
+    # from collapsing the projections and re-inlining the line expression
+    # into every per-char lambda (measured 12s vs ~1s at sf0.1)
+    lines = _spread(_t(spark, sf_dir, "events").select(
         F.col("event_id").cast("string").alias("doc_id"),
-        F.expr(
-            f"transform(sequence(1, length({_RFC_LINE_SPARK})), "
-            f"i -> cast(ascii(substring({_RFC_LINE_SPARK}, i, 1)) as int))"
-        ).alias("tokens"),
-        F.expr(f"cast(length({_RFC_LINE_SPARK}) as int)").alias("n_tok"),
-        F.lit("rfc5424").alias("source"),
+        F.expr(_RFC_LINE_SPARK).alias("line"),
     ), spark)
+    tokens = lines.select(
+        "doc_id",
+        F.expr("transform(split(line, ''), c -> cast(ascii(c) as int))")
+        .alias("tokens"),
+        F.expr("cast(length(line) as int)").alias("n_tok"),
+        F.lit("rfc5424").alias("source"),
+    )
     p = enrich(parse_tokens(tokens))
     return (
         p.filter(F.col("error_msg").isNull())

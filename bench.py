@@ -256,7 +256,9 @@ Methodology (see bench.py):
 - the configs run INTERLEAVED over {len(effs)} rounds and each round's
   efficiency pairs same-era measurements — this VM's neighbor noise
   swings identical runs up to 2x, so cross-era ratios are meaningless;
-  the reported efficiency is the median of the per-round ratios;
+  the reported efficiency is the median of the per-round ratios; the
+  within-round order alternates (8,32 / 32,8 / ...) because the box also
+  drifts slower under sustained load;
 - per round, each config warms up once (python-worker fork + JIT —
   amortized to zero on a 10^12-row run) then scores best-of-2 reps;
 - shuffle/local dirs on tmpfs — this sandbox has a single virtual disk
@@ -316,8 +318,14 @@ def main():
     runs: dict[int, list] = {8: [], 32: []}
     effs = []
     for rnd in range(rounds):
-        r8 = run_pipeline_at(8, tokens_path, N_ROWS)
-        r32 = run_pipeline_at(32, tokens_path, N_ROWS)
+        # alternate the order each round: this box drifts slower under
+        # sustained load, so a fixed order would systematically hand one
+        # config the worse half of every round
+        order = (8, 32) if rnd % 2 == 0 else (32, 8)
+        got = {}
+        for c in order:
+            got[c] = run_pipeline_at(c, tokens_path, N_ROWS)
+        r8, r32 = got[8], got[32]
         runs[8].append(r8)
         runs[32].append(r32)
         eff_rnd = (r32["rows_per_sec"] / r8["rows_per_sec"]) / 4.0
@@ -328,7 +336,11 @@ def main():
     for p in (p8, p32):
         p["total_rows"] = p["routed_rows"] + p["error_rows"]
     eff = statistics.median(effs)
-    parse_eff = (p8["parse_only_seconds"] / p32["parse_only_seconds"]) / 4.0
+    # parse-stage efficiency: same-round pairing, median (like eff)
+    parse_eff = statistics.median(
+        (a["parse_only_seconds"] / b["parse_only_seconds"]) / 4.0
+        for a, b in zip(runs[8], runs[32])
+    )
 
     kernel = run_kernel_bench()
 

@@ -158,9 +158,16 @@ def route_write(
     spark = spark or parsed.sparkSession
     if files_per_sink is None:
         files_per_sink = max(2, spark.sparkContext.defaultParallelism // 4)
+    # dynamic partition overwrite only matters when layering onto existing
+    # sinks (resume); for a fresh overwrite the static mode truncates the
+    # table in one step — the dynamic commit renames every partition dir
+    # driver-side (measured ~10s at ~650 files on this box)
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if resume else "static",
+    )
     stage_t: dict[str, float] = {}
     _t0 = _time.monotonic()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     # row_cs is materialized BEFORE the shuffle (pipelined with the parse
     # stage) so the manifest scan afterwards reads 8 flat bytes per row
     # instead of re-decoding + re-hashing the nested data column
