@@ -133,6 +133,49 @@ def _manifest_metrics_schemas():
 MANIFEST_SCHEMA, METRICS_SCHEMA = _manifest_metrics_schemas()
 
 
+def _pa_schema(spark_schema):
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    def conv(dt):
+        if isinstance(dt, T.IntegerType):
+            return pa.int32()
+        if isinstance(dt, T.LongType):
+            return pa.int64()
+        if isinstance(dt, T.DoubleType):
+            return pa.float64()
+        if isinstance(dt, T.StringType):
+            return pa.string()
+        if isinstance(dt, T.ArrayType):
+            return pa.list_(conv(dt.elementType))
+        raise TypeError(f"unsupported {dt}")
+
+    return pa.schema([(f.name, conv(f.dataType)) for f in spark_schema])
+
+
+def write_local_table(path: str, rows: list, spark_schema, append: bool = False):
+    """Write a driver-local (tiny) table as a parquet directory WITHOUT a
+    Spark job: a createDataFrame(local rows).write would be backed by a
+    python RDD, and its single write task forks a python worker (~4-7s of
+    pure latency per call on this box). The manifest/metrics/aggregates
+    tables are at most a few hundred rows — pyarrow writes them in
+    milliseconds and Spark reads the directory exactly the same."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not append:
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    table = pa.Table.from_pylist(
+        [dict(r) for r in rows], schema=_pa_schema(spark_schema)
+    )
+    pq.write_table(table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet"))
+
+
 def route_write(
     parsed: DataFrame,
     out_dir: str,
@@ -208,13 +251,17 @@ def route_write(
             "left_anti",
         )
         stats_rows = [r.asDict() for r in sink_stats(routed_new).collect()]
-        spark.createDataFrame(
-            stats_rows or [], schema=MANIFEST_SCHEMA
-        ).coalesce(1).write.mode(mode).parquet(f"{out_dir}/{MANIFEST}")
+        write_local_table(
+            f"{out_dir}/{MANIFEST}", stats_rows, MANIFEST_SCHEMA,
+            append=(mode == "append"),
+        )
         if write_metrics:
-            partition_metrics(routed).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{out_dir}/{METRICS}")
+            metrics_rows = [
+                r.asDict() for r in partition_metrics(routed).collect()
+            ]
+            write_local_table(
+                f"{out_dir}/{METRICS}", metrics_rows, METRICS_SCHEMA
+            )
     else:
         # hot path: ONE column-pruned scan computes manifest + per-sink
         # aggregates (sink_stats: sketch distincts, approx percentiles);
@@ -227,13 +274,14 @@ def route_write(
         from .aggregate import sink_stats
 
         stats_rows = [r.asDict() for r in sink_stats(routed).collect()]
-        spark.createDataFrame(
-            stats_rows or [], schema=MANIFEST_SCHEMA
-        ).coalesce(1).write.mode(mode).parquet(f"{out_dir}/{MANIFEST}")
+        write_local_table(f"{out_dir}/{MANIFEST}", stats_rows, MANIFEST_SCHEMA)
         if write_metrics:
-            partition_metrics(routed).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{out_dir}/{METRICS}")
+            metrics_rows = [
+                r.asDict() for r in partition_metrics(routed).collect()
+            ]
+            write_local_table(
+                f"{out_dir}/{METRICS}", metrics_rows, METRICS_SCHEMA
+            )
     stage_t["manifest_metrics"] = _time.monotonic() - _t0
     n_ok = sum(
         r["rows"] for r in stats_rows if r["sink_severity"] != ERROR_SINK

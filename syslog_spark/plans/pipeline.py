@@ -68,16 +68,28 @@ def run_pipeline(
     # no manifest re-read
     stats_rows = route_info["sink_stats"]
     if stats_rows:
-        from ..operators.route import MANIFEST_SCHEMA
+        from pyspark.sql import types as T
 
-        aggs = spark.createDataFrame(stats_rows, schema=MANIFEST_SCHEMA).filter(
-            F.col("sink_severity") != ERROR_SINK
-        ).withColumnRenamed("sink_severity", "severity").drop(
-            "row_set_checksum"
-        )
-        aggs.coalesce(1).write.mode("overwrite").parquet(
-            f"{out_dir}/aggregates"
-        )
+        from ..operators.route import MANIFEST_SCHEMA, write_local_table
+
+        agg_schema = T.StructType([
+            T.StructField(
+                "severity" if f.name == "sink_severity" else f.name,
+                f.dataType,
+            )
+            for f in MANIFEST_SCHEMA.fields
+            if f.name != "row_set_checksum"
+        ])
+        agg_rows = [
+            {
+                ("severity" if k == "sink_severity" else k): v
+                for k, v in r.items()
+                if k != "row_set_checksum"
+            }
+            for r in stats_rows
+            if r["sink_severity"] != ERROR_SINK
+        ]
+        write_local_table(f"{out_dir}/aggregates", agg_rows, agg_schema)
     wall = time.monotonic() - t0
 
     total = errors = n_sinks = 0
