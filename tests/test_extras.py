@@ -117,6 +117,26 @@ def test_lsh_topk_recall(spark):
     assert len(exact & approx) >= 4
 
 
+def test_lsh_bucket_stats_flags_hot_buckets(spark):
+    """The cap-monitoring side output: identical texts share every band
+    bucket, so a group of n identical docs shows up as bands buckets of
+    size n."""
+    from syslog_spark.operators.dedup import lsh_bucket_stats
+
+    import hashlib
+
+    rows = [(f"c{i}", "same exact text for every doc here") for i in range(5)]
+    rows += [
+        (f"u{i}", hashlib.sha256(str(i).encode()).hexdigest())
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    stats = lsh_bucket_stats(df, bands=8, n_hashes=64, min_size=2).collect()
+    hot = [r for r in stats if r["bucket_size"] == 5]
+    assert len(hot) == 8  # the identical-doc group fills one bucket per band
+    assert all(r["bucket_size"] <= 5 for r in stats)
+
+
 def test_embedding_near_dups_planted(spark):
     """Blocked-LSH near-dup finds every planted high-cosine pair, and the
     exact-cosine verify rejects random pairs — no cross join involved."""
