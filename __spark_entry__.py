@@ -314,11 +314,86 @@ def q_error_classes(spark, sf_dir):
     )
 
 
+# Expected md5(comma-joined floor(x*10000)) per synth_media_df(128) row,
+# precomputed from multimodal._stub_features (deterministic: sha256-seeded
+# numpy RandomState, whose legacy stream is frozen across versions).
+_MM_FEATURE_DIGESTS = [
+    "6425764f975fc7e9040648fab8782125", "878ee554edec51e38ce48871026cb9fc",
+    "ad2fd7e7829ff048ddb9ef34da163892", "b8e142f068b2b605ef99101ea9c8b890",
+    "8c3a23bcaf233f73e1fea17666d8c22f", "163ee88f1e94b80884d25679459eb545",
+    "14a1af7f190066b918e406b9169abc5e", "d7fb9edf64c3aeadf69008b13d9908ca",
+    "01af352a495f3576b971b430969b3a04", "c754524c3fc1a98a48d552d8517944b7",
+    "97238765e57c11d6eb6804da7c0e9e66", "a47fc0e6af5101b6c9738afb141f3984",
+    "ea167f7bdac6d9583d44ca288722c925", "af9ec642e3e2b75c78d7e17afc16be19",
+    "3846cb58da1ed9b99de2afb123659047", "ab3d04f3df77172bd49da3a8cbc41894",
+    "a221be1945d292d42d0cb7d0e8d7e66a", "65d12831ee1d593bbf6227dc1a5f0160",
+    "8a2bf026be0bef44c019f3e2c98b9cd5", "ee1ae67d2c1249c5603f56a53120a7c1",
+    "edb89bee3277788543677530ce1b09a9", "b9e6dceab93ce1f6127c110618de78b0",
+    "fdcfda1c3cd681a488daf242d1efdafa", "8a85e7f8ee3cf081baf2add1e99abf05",
+    "fd9ba90ce38b01212e68f92be348db86", "c767630348fa679fa7e5ddb57d422868",
+    "6a3c566d8f7fa5c68de068bbf92022e3", "9cae05bef445e0774d907de41802685e",
+    "542fa9872c2c9b4ad3fb7cae384e5050", "44ac67370cfa491b20cb8929132c5270",
+    "561c9d38e5c7ec5d44722b3909a673f2", "4771e39ac57da3dcadb6f5cab6d08410",
+    "c1d6ca1b504d10a3f370cbe6ae930f61", "5733b435b453da23393b9d1f42caffa0",
+    "e9ff1d289f3f442b21dd4477f1aca89b", "b851a31389ace2051833e7485e699d0c",
+    "18f90c7caeeafc411a777583b292c949", "a4bde87699eb847ff242a93470c7b3d5",
+    "cedec60d6a1be0eee7e7140be73c7934", "42ed1ff360f0add4f239ec4fdef8616f",
+    "c3781333674974b7dc704f096f4c294f", "0a8b77346dd996fd9731629980c3834a",
+    "8296cbe4314b57b2930114f7012917dd", "2b6fa573b8dea934dd1186facbac9247",
+    "ae65df9498c48eb18b3d2fe07d007d96", "f07f1512a99efff4582762dd10aa345d",
+    "2c71eb8f9b62f803f49437e4f6c7d55b", "aaccb45605596b6e74a6f67ac39ca9b6",
+    "a2cf127a4d29125380831b12a29090f4", "a85e1036f7528b40e8b49e970007edf3",
+    "f5efb4615068335e574de9b6f73dc30b", "1555cf1d84accc7c24aee425720f3b96",
+    "41a8f08876065a8dc03671065fbf5e98", "c77bd7441e970b82ffce0a46f5689cf5",
+    "03cab7c214ebafb6cdd6c9cf25c5146b", "29e3de45361eca3a0d7e41970a6d0616",
+    "6048035864d973dff024de39e1c8bfd7", "4a340b49b811ebdfed806ac35fbf6370",
+    "0c8c401d330f3fdf54f85357bf3a1dba", "a536a82c41a621520d49e4ff1f086a84",
+    "c723b3e84f3d249cd19556c28581fae9", "9e3f3642d5c33583b14d8f73f9622eb8",
+    "0ca038c215782e367b901ec7c49efbb1", "a2ba0ce89c0a932ec24e060f518c671f",
+    "15fab3a6df5fc1db47da63255d618d60", "facac5240b2371d8a63bbe5d2aace382",
+    "d638367b029e6b986073f817bb59d523", "760653509c752ff83d7779ea2c93b546",
+    "b90d2aba3662c242c2f164a70da6227f", "4248f6dad1f9dfec95944928d3087868",
+    "24bfaba3a69270e7fd3138a481c2c9f3", "c8d2f06e488c762588119a84412326c9",
+    "0e5c77f8e157c29bcdcbca51ef37eeff", "e5ca913d4f6e954409f817e95d20e026",
+    "2a70a6874a808c766b0abd55eb23bf25", "488339e5971b2a0937592447f821560b",
+    "b59775aa0beda2a4260a2d11a30e3322", "20e7a54efca80d334ea5ca1fce88e853",
+    "e9fa03192fa6a64246c5abb8c666b86e", "4a322afae31e4b1ccc403672293bb47d",
+    "937ee3b3df04c9f38520844232e429a3", "b7e3cd16f99b3c7fbeab49236573cb94",
+    "04b1c0b2ff5ec3215bc63c7321d47a7b", "a9b5d1702bc0252cbbc88439e09451f1",
+    "8e8025037f45e7bcc8a3d5fe58cdadfe", "b8e85f551d528ef20f89b4ba2fd687e2",
+    "64cc689024887e16e04881f4ff0a0562", "c2242c3f3f58c20b71f0377fcb6eee8b",
+    "033a6de94d079020da579ee4b48150c0", "8c5a72451fe2c6e212e4244761acdb16",
+    "73cfefdc476c0e6899d329fa56db1501", "7fdcb11e5b56a9364f69cfcd76b2f0d9",
+    "1f45bf85e4e4e5e83f37a7e0771840f5", "7175cca5226ceb7a0366311c95846967",
+    "df93b1fa3a820485c1844a100332238c", "a8ce218ec194fb759166ef736e92d205",
+    "018bbcf073b704dc62a06dd80ce1aae6", "4bd72465a9a3f4db13f066eb1e815225",
+    "a64d41997bba3eae6084496975ae183f", "d3b118dac0ae30485f7f1be6e4c15bf9",
+    "904844d9b72b7316b5aedb383b07198e", "d9f45c93ea12f84441c37db861110d22",
+    "75cd81f30401a90ad2c7fcd251a2c214", "7d3415e453ed81dff1cccca581611b33",
+    "e4badd914efe73ddaa8899e0fe66a209", "405a39acd78e57e1cfc80036fc364b8b",
+    "13d8c7f551a45eab662b09c8a03e02d8", "734ff927b7c4e257dd167a07047c1e47",
+    "354f99d7f1dd5c89b5925cc591ab7553", "74685fe10e947d9710c353313f3d0030",
+    "b801a9451c16c2fac551d4b436cd3317", "ef9947f85e6267727924b963e487b237",
+    "993ae5ee3965887c92322036dadaedc6", "629cd48cb378c86227ae5fc33689e447",
+    "20a56b9314309c33e4daf58b80a8a7ef", "5322f903bc12e31d0cc209104cd1267c",
+    "a0e241d1bf35ea762508d345e7c27ba6", "32f160b9c15b49ab98aef36ca6acf5d9",
+    "ad620cd1b831ec036523903e6a4e4907", "ba006defde7e9a1b7c98d62d077e9d40",
+    "03daacd39b80492f20e610a7648193db", "e225c93f86b0bffe19f8bdc34bba3076",
+    "a3588f7ebb5034669dabddfeafed8693", "1f811d1aa2dcaa0948a4877ef4624077",
+    "320c90acdca0f208d6e3472ced8387a7", "9c239811f38038c772f8f9686e956165",
+    "8eac1c882b2f7bc3696f69e6b11f71ed", "00edd8d277851496a89a10ba970ddbfb",
+]
+
+
 def q_multimodal_features(spark, sf_dir):
     """Stubbed decode over the binary media table (real Arrow/mapInPandas
-    plumbing, deterministic payloads). Oracle-checked: the synthetic table
-    is SQL-reconstructable (doc ids, modality cycle, feature dim, no
-    decode errors), so the gate pins the full batch contract."""
+    plumbing, deterministic payloads). Oracle-checked on CONTENT: the
+    feature vector is pinned by an integer-quantized digest
+    (md5 of comma-joined floor(x*10000) per component — float32->double
+    extension is exact, floor avoids round-mode mismatch), compared
+    against digests precomputed from the same deterministic stub
+    (sha256-seeded RandomState; the legacy-generator stream is frozen
+    across numpy versions) inlined as a DuckDB VALUES table."""
     from syslog_spark.operators.multimodal import extract_features, synth_media_df
 
     _ensure_shipped(spark)
@@ -327,6 +402,15 @@ def q_multimodal_features(spark, sf_dir):
     return out.select(
         "doc_id", "modality",
         F.size("feature").cast("bigint").alias("feature_dim"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(feature, "
+                    "x -> cast(floor(cast(x as double) * 10000d) as string))"
+                ),
+            )
+        ).alias("feature_digest"),
         "decode_error",
     )
 
@@ -433,13 +517,23 @@ def q_tpch_q1(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    """Exact-dup groups over documents PLUS planted byte-identical copies
+    of the first 30 docs (doc_id 'dup-<id>') — the natural table has no
+    exact dupes at small SF, so without planting this gate would
+    hash-match on the empty set and prove nothing."""
     from syslog_spark.operators.dedup import exact_duplicate_groups
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "doc_id", F.col("doc_id").cast("string")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    return exact_duplicate_groups(docs).select(
-        "digest", F.col("n_docs").cast("bigint").alias("n_docs")
+    planted = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
+        F.concat(F.lit("dup-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    return exact_duplicate_groups(docs.unionAll(planted)).select(
+        "digest",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("keep_doc_id").alias("keep_doc_id"),
     )
 
 
@@ -488,17 +582,32 @@ def q_ann_brute_force(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    from syslog_spark.operators.similarity import cosine, _vec
+    """Brute-force exact-cosine near-dup twin of embedding_neardup_lsh:
+    all-pairs on a deliberately TINY slice (50 vectors + 50 planted
+    near-copies at +10000, first coordinate * 1.001 -> cosine ~0.9999).
+    Without planting, random 64-dim vectors never exceed cos 0.9 and the
+    gate matched on 0 rows (vacuous, flagged by the round-2 verdict).
+    The all-pairs shape is the small-scale verifier only; the 100-TB shape
+    is the blocked operator gated by embedding_neardup_lsh."""
+    from syslog_spark.operators.similarity import cosine
 
-    emb = _t(spark, sf_dir, "embeddings").filter(
-        F.pmod(F.col("vec_id"), F.lit(10)) == 0
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    a = emb.select(F.col("vec_id").alias("a"), _vec("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), _vec("embedding").alias("vb"))
+    planted = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr("concat(array(v[0] * 1.001d), slice(v, 2, size(v) - 1))")
+        .alias("v"),
+    )
+    c = base.unionAll(planted)
+    a = c.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = c.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
     return (
         a.join(b, F.col("a") < F.col("b"))
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") > 0.5)
+        .filter(F.col("cos") >= 0.9)
         .select("a", "b")
     )
 
@@ -608,6 +717,42 @@ def q_ann_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).select(
+        "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_ann_ivf_pruned(spark, sf_dir):
+    """The HONESTLY-PRUNED IVF path through the hash gate (round-2 verdict
+    item: only the exhaustive n_probe=n_centroids config was gated).
+    Construction: 8 planted clusters, member v = 100*e_{vec_id%8} +
+    0.01*embedding (intra-cluster cosine ~1, inter ~0). The quantizer is
+    EXPLICIT (the 8 scaled one-hot centers — ivf_topk's pretrained-
+    centroids mode, pure-Catalyst argmin assignment, no KMeans FP
+    nondeterminism), so every cluster provably maps to its own cell, a
+    query's exact top-5 lives entirely in its own cell, and n_probe=2 of 8
+    — a genuinely pruned search join touching 1/4 of the corpus — is
+    provably exact. DuckDB recomputes brute-force top-5 over the same
+    construction."""
+    from syslog_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 320)
+    planted = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "if(i = cast(vec_id % 8 as int), 100.0d, 0.0d) "
+            "+ 0.01d * cast(x as double))"
+        ).alias("embedding"),
+    )
+    centers = [
+        [100.0 if i == j else 0.0 for i in range(64)] for j in range(8)
+    ]
+    queries_df = planted.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        planted, queries_df, k=5, n_probe=2, centroids=centers
+    ).select(
         "query_id", "vec_id", F.col("rank").cast("bigint").alias("rank")
     )
 
@@ -875,8 +1020,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
         "dedup_exact": """
-            SELECT md5(text) AS digest, count(*) AS n_docs
-            FROM documents GROUP BY 1 HAVING count(*) > 1""",
+            WITH corpus AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT 'dup-' || doc_id AS doc_id, text
+              FROM documents WHERE doc_id < 30
+            )
+            SELECT md5(text) AS digest, count(*) AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM corpus GROUP BY 1 HAVING count(*) > 1""",
         "fingerprint": r"""
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
@@ -965,6 +1117,22 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings c, embeddings q
             WHERE q.vec_id < 3
             QUALIFY rank <= 5""",
+        "ann_ivf_pruned": """
+            WITH c AS (
+              SELECT vec_id,
+                     list_transform(generate_series(0, 63), i ->
+                       (CASE WHEN i = vec_id % 8 THEN 100.0 ELSE 0.0 END)
+                       + 0.01 * CAST(embedding[i + 1] AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id < 320
+            )
+            SELECT q.vec_id AS query_id, x.vec_id AS vec_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(x.v, q.v) DESC,
+                              x.vec_id) AS rank
+            FROM c x, c q
+            WHERE q.vec_id < 3
+            QUALIFY rank <= 5""",
         "ann_lsh": """
             WITH base AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -985,13 +1153,20 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c, base q
             WHERE q.vec_id < 3
             QUALIFY rank <= 5""",
-        "multimodal_features": """
+        "multimodal_features": (
+            """
             SELECT printf('m%04d', i) AS doc_id,
                    (['image', 'audio', 'video'])[CAST(i % 3 AS INT) + 1]
                        AS modality,
                    CAST(64 AS BIGINT) AS feature_dim,
+                   digest AS feature_digest,
                    CAST(NULL AS VARCHAR) AS decode_error
-            FROM range(128) t(i)""",
+            FROM (VALUES """
+            + ", ".join(
+                f"({i}, '{d}')" for i, d in enumerate(_MM_FEATURE_DIGESTS)
+            )
+            + ") t(i, digest)"
+        ),
         "pipeline_smoke": f"""
             SELECT (event_id % 192) % 8 AS severity,
                    {_case_sql("((event_id % 192) % 8)", C.SEVERITY_NAMES)}
@@ -1013,13 +1188,20 @@ def oracle_sql() -> dict[str, str]:
               END AS canonical
             FROM events""",
         "embedding_neardup": """
-            SELECT a.vec_id AS a, b.vec_id AS b
-            FROM embeddings a, embeddings b
-            WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
-              AND a.vec_id < b.vec_id
-              AND list_cosine_similarity(
-                    CAST(a.embedding AS DOUBLE[]),
-                    CAST(b.embedding AS DOUBLE[])) > 0.5""",
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 50
+            ), planted AS (
+              SELECT vec_id + 10000 AS vec_id,
+                     list_concat([v[1] * 1.001], v[2:]) AS v
+              FROM base
+            ), c AS (
+              SELECT * FROM base UNION ALL SELECT * FROM planted
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM c x, c y
+            WHERE x.vec_id < y.vec_id
+              AND list_cosine_similarity(x.v, y.v) >= 0.9""",
     }
 
 
@@ -1080,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_pruned": q_ann_ivf_pruned,
         "pipeline_smoke": q_pipeline_smoke,
         "parse_rfc5424_hard": q_parse_rfc5424_hard,
     }

@@ -6,14 +6,18 @@ space-trimmed, structured data with both key levels sorted (already sorted
 in our canonical storage form), ' message' only when non-empty, RFC3339Nano
 timestamps with trailing-zero-trimmed fractions and 'Z' for UTC.
 
-Two engines, result-identical on any all-ASCII values (both tested against
-the byte-exact oracle):
-  * "sql" (default) — pure Catalyst expression (canonical_line_expr),
-    zero Python, whole-stage codegen; covers backslash/quote escaping and
-    ALL ASCII control-character escapes (\\a..\\v named + \\xNN).
-  * "pandas" — vectorized python serializer; additionally covers
-    go_quote's \\uNNNN escapes for non-printable NON-ASCII runes in param
-    values (the only divergence left in the sql engine).
+Engines:
+  * "auto" (default) — byte-exact for ALL inputs: pure-Catalyst
+    expression for rows whose param values are ASCII, per-row routing to
+    the pandas serializer for rows with non-ASCII param values (inputs
+    null-masked for clean rows so an ASCII corpus pays only an Arrow
+    validity-bitmap roundtrip).
+  * "sql" — pure Catalyst expression (canonical_line_expr) only, zero
+    Python, whole-stage codegen; covers backslash/quote escaping and ALL
+    ASCII control-character escapes (\\a..\\v named + \\xNN) but not
+    go_quote's \\uNNNN for non-printable NON-ASCII runes in param values.
+  * "pandas" — vectorized python serializer for every row, total for any
+    value content.
 Used for the token round-trip invariant (SURVEY.md §1.2) and as the
 user-facing re-emit operator. Row-set checksums for routing parity do
 NOT use this (operators/route.py hashes the canonical tuple directly).
@@ -111,6 +115,10 @@ def serialize_batch(
     """Vectorized Message.Bytes over pandas columns. Null priority (error
     rows) -> null output."""
     n = len(priority)
+    if bool(priority.isna().all()):
+        # all-null batch: nothing to serialize (error rows, or the auto
+        # engine masked every clean row out) — skip the column work
+        return pd.Series([None] * n, index=priority.index, dtype=object)
     pri = priority.astype("float").fillna(0).astype(np.int64)
     head = "<" + pri.astype(str) + ">"
     ver = version.astype("float").fillna(0).astype(np.int64)
@@ -247,13 +255,52 @@ def canonical_line_expr():
     return F.when(F.col("priority").isNull(), F.lit(None)).otherwise(line)
 
 
-def with_canonical(df, out_col: str = "canonical", engine: str = "sql"):
+_SER_COLS = (
+    "priority", "version", "ts_micros", "ts_nanos", "tz_offset_seconds",
+    "hostname", "appname", "proc_id", "msg_id", "data", "message",
+)
+
+
+def needs_unicode_quote():
+    """True for rows whose param VALUES contain any non-ASCII character —
+    a cheap JVM over-approximation of go_quote's \\uNNNN cases (printable
+    non-ASCII serializes verbatim in both engines, so routing it to the
+    pandas engine is correct, merely unnecessary). Only values are quoted
+    by Go (syslog.go:113-115); sd_ids/keys/message pass verbatim in both
+    engines regardless of content."""
+    from pyspark.sql import functions as F
+
+    return F.coalesce(
+        F.exists(
+            F.col("data"),
+            lambda b: F.coalesce(
+                F.exists(
+                    b["params"],
+                    lambda p: p["value"].rlike("[^\\x00-\\x7F]"),
+                ),
+                F.lit(False),
+            ),
+        ),
+        F.lit(False),
+    )
+
+
+def with_canonical(df, out_col: str = "canonical", engine: str = "auto"):
     """Append the canonical serialized line (null for error rows).
 
-    engine="sql": pure JVM expression (whole-stage codegen; the default —
-    exact except go_quote's control-character escapes).
-    engine="pandas": the vectorized python serializer, total for any
-    value content."""
+    engine="auto" (default): byte-exact for ALL inputs in one pass — rows
+    whose param values are pure ASCII take the pure-JVM expression; rows
+    with non-ASCII param values (the only case where the SQL engine can't
+    reproduce go_quote's Unicode-table-driven \\uNNNN escapes) route to
+    the pandas serializer. The pandas branch's inputs are null-masked for
+    clean rows, so an all-ASCII corpus ships only validity bitmaps through
+    Arrow and serialize_batch short-circuits — no double scan of the
+    upstream lineage, which is what a union-of-filters split would cost.
+    engine="sql": pure JVM expression only (whole-stage codegen; byte-
+    exact whenever param values are ASCII — opt in when the corpus is
+    known-ASCII and the Python worker roundtrip should be skipped).
+    engine="pandas": the vectorized python serializer for every row,
+    total for any value content."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -270,11 +317,16 @@ def with_canonical(df, out_col: str = "canonical", engine: str = "sql"):
             hostname, appname, proc_id, msg_id, data, message,
         )
 
+    if engine == "pandas":
+        return df.withColumn(out_col, _ser(*_SER_COLS))
+    if engine != "auto":
+        raise ValueError(f"unknown engine {engine!r}")
+
+    needs = needs_unicode_quote()
+    masked = [
+        F.when(needs, F.col(c)).otherwise(F.lit(None)) for c in _SER_COLS
+    ]
     return df.withColumn(
         out_col,
-        _ser(
-            "priority", "version", "ts_micros", "ts_nanos",
-            "tz_offset_seconds", "hostname", "appname", "proc_id",
-            "msg_id", "data", "message",
-        ),
+        F.when(needs, _ser(*masked)).otherwise(canonical_line_expr()),
     )

@@ -116,9 +116,17 @@ def embedding_near_dups(
 
     Scale shape: one corpus scan for signatures, explode x n_blocks, one
     shuffle on (blk, key); candidates are verified with a JVM cosine. No
-    CartesianProduct anywhere in the plan (asserted in tests)."""
+    CartesianProduct anywhere in the plan (asserted in tests).
+
+    ``dim`` is required: the hyperplanes are literal arrays baked into the
+    plan, and inferring the width from data would need an eager driver-side
+    job (``.first()``) inside an otherwise lazy operator (and crash on an
+    empty frame)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "embedding_near_dups requires dim= (hyperplanes are plan "
+            "literals; no eager data peek in a lazy operator)"
+        )
     width = n_bits // n_blocks
     mask = (1 << width) - 1
     sig = rh_signature(vec_col, dim, n_bits, seed)
@@ -165,6 +173,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     train_fraction: float | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans coarse quantizer ->
     corpus assigned to its nearest centroid -> each query searches only its
@@ -173,20 +182,53 @@ def ivf_topk(
     Scale shape: the corpus is scanned once for assignment (broadcast
     centroid model), then the search join is an equi-join on centroid id —
     a query touches n_probe/n_centroids of the data. Centroids train on a
-    sample (train_fraction) so training never shuffles the full corpus."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    sample (train_fraction) so training never shuffles the full corpus.
 
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), _vec(vec_col).alias("v")
-    ).withColumn("features", array_to_vector("v"))
-    train = c
-    if train_fraction and train_fraction < 1.0:
-        train = c.sample(train_fraction, seed=seed)
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
-    assigned = model.transform(c).withColumnRenamed("prediction", "centroid")
+    ``centroids`` supplies a pretrained coarse quantizer (the
+    train-once-offline pattern): assignment becomes a pure-Catalyst argmin
+    over literal centers — no ML training job, fully deterministic (KMeans
+    training aggregates floats in partition order, so its centroids can
+    differ in final bits across runs)."""
+    if centroids is not None:
+        c = corpus.select(
+            F.col(id_col).alias("vec_id"), _vec(vec_col).alias("v")
+        )
+        dist_structs = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in ctr]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(i).alias("centroid"),
+            )
+            for i, ctr in enumerate(centroids)
+        ])
+        assigned = c.withColumn(
+            "centroid", F.array_min(dist_structs)["centroid"]
+        )
+        centers = [list(map(float, ctr)) for ctr in centroids]
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    centers = [np.asarray(v).tolist() for v in model.clusterCenters()]
+        c = corpus.select(
+            F.col(id_col).alias("vec_id"), _vec(vec_col).alias("v")
+        ).withColumn("features", array_to_vector("v"))
+        train = c
+        if train_fraction and train_fraction < 1.0:
+            train = c.sample(train_fraction, seed=seed)
+        model = KMeans(
+            k=n_centroids, seed=seed, featuresCol="features"
+        ).fit(train)
+        assigned = model.transform(c).withColumnRenamed(
+            "prediction", "centroid"
+        ).drop("features")
+        centers = [np.asarray(v).tolist() for v in model.clusterCenters()]
     centers_df = queries.sparkSession.createDataFrame(
         [(i, c_) for i, c_ in enumerate(centers)],
         "centroid int, center array<double>",

@@ -244,9 +244,10 @@ def parse_rfc3339_fixed(s: bytes) -> TimeVal | None:
                path accepts the '.' form directly)
     35 bytes:  core [.,] 9-digits ±HH:MM   (canonical RFC3339Nano; ','
                via the general parser only)
-               core . 14-digits Z          (strict-path quirk: a >9-digit
-               fraction makes parseNanoseconds error but parseRFC3339
-               DISCARDS that error -> accepted with nanos=0)
+               core [.,] 14-digits Z       (modern Go — >=1.17's
+               parseNanoseconds clamps the fraction to value[:10] before
+               atoi, so a >9-digit fraction parses as its FIRST 9 digits
+               on both the strict and general paths; ',' via general)
 
     'Z' means UTC; numeric offsets are not range-checked (the general
     parser doesn't, and it is tried whenever the strict one rejects).
@@ -262,9 +263,14 @@ def parse_rfc3339_fixed(s: bytes) -> TimeVal | None:
             frac = b"0"
             core, off = s[:19], s[19:]
     elif n == 35:
-        if s[19:20] == b"." and _all_digits(s[20:34]) and s[34:35] == b"Z":
-            # strict-path >9-digit fraction: error ignored, nanos = 0
-            frac = b"0"
+        if (
+            s[19:20] in (b".", b",")
+            and _all_digits(s[20:34])
+            and s[34:35] == b"Z"
+        ):
+            # >9-digit fraction: parseNanoseconds clamps to the first 9
+            # digits (value[:10] before atoi) in Go >=1.17
+            frac = s[20:29]
             core, off = s[:19], b"Z"
         elif s[19:20] in (b".", b","):
             frac = s[20:29]

@@ -62,11 +62,18 @@ def _ts(inp: str):
             O.TimeVal(2015, 10, 18, 17, 5, 55, 956934919, 7200),
             b"",
         ),
-        # strict-parser quirk: >9 fraction digits make parseNanoseconds
-        # error but parseRFC3339 DISCARDS the error -> nanos 0, accepted
+        # >9 fraction digits: Go >=1.17 parseNanoseconds clamps the
+        # fraction to value[:10] before atoi -> first 9 digits kept
         (
             "2015-10-18T17:05:55.12345678901234Z",
-            O.TimeVal(2015, 10, 18, 17, 5, 55, 0, 0),
+            O.TimeVal(2015, 10, 18, 17, 5, 55, 123456789, 0),
+            b"",
+        ),
+        # comma variant goes through the general parser's implicit-
+        # fraction path, same first-9-digit clamp
+        (
+            "2015-10-18T17:05:55,12345678901234Z",
+            O.TimeVal(2015, 10, 18, 17, 5, 55, 123456789, 0),
             b"",
         ),
     ],
@@ -86,9 +93,8 @@ def test_rfc3339_union_accepts(inp, want, leftover):
         # 3-digit fraction + Z is 24 bytes; the 25-byte peek drags in the
         # following space -> extra text
         "2015-09-30T23:10:11.123Z x pad pad",
-        # comma form of the 14-digit quirk: only the '.'-strict parser
-        # ignores the fraction error; general parse fails on >9 digits
-        "2015-10-18T17:05:55,12345678901234Z",
+        # non-digit inside the 14-char fraction window -> neither parser
+        "2015-10-18T17:05:55.12345x78901234Z",
     ],
 )
 def test_rfc3339_union_rejects(inp):

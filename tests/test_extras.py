@@ -223,3 +223,35 @@ def test_ivf_topk_recall(spark):
     }
     # planted near-neighbours land in the query's own probe lists
     assert len(exact & approx) >= 4
+
+
+def test_ivf_topk_explicit_centroids(spark):
+    """Pretrained-quantizer mode: pure-Catalyst argmin assignment (no
+    KMeans job), deterministic, and exact when each query's true top-k
+    lives inside its probed cells."""
+    from pyspark.sql import functions as F
+
+    from syslog_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(7)
+    dim, per = 16, 20
+    centers = [[50.0 if i == j else 0.0 for i in range(dim)] for j in range(4)]
+    rows = []
+    for v in range(4 * per):
+        c = centers[v % 4]
+        rows.append((v, [c[i] + 0.01 * rng.normal() for i in range(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in brute_force_topk(emb, q, k=5).collect()
+    )
+    pruned = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in ivf_topk(emb, q, k=5, n_probe=1, centroids=centers).collect()
+    )
+    assert pruned == exact
+    # n_probe=1 of 4: every result stays in the query's own cluster
+    assert all(v % 4 == qid % 4 for qid, _, v in pruned)

@@ -87,11 +87,13 @@ def test_serialize_fuzz_parity(spark):
     assert n_ok > 200  # the fuzz must mostly produce valid parses
 
 
-@pytest.mark.parametrize("engine", ["sql", "pandas"])
+@pytest.mark.parametrize("engine", ["sql", "pandas", "auto"])
 def test_serialize_ctrl_char_parity(spark, engine):
     """go_quote escape parity vs the oracle for param values carrying
     every ASCII control byte (named \\a..\\v escapes + \\xNN), plus
-    non-ASCII non-printables on the pandas engine (\\uNNNN)."""
+    non-ASCII non-printables (\\uNNNN) on the engines that route them
+    (pandas always; auto per-row — the DEFAULT must be byte-exact for
+    ALL inputs, round-2 verdict missing #1)."""
     from syslog_spark.operators.parse import parse_lines
 
     vals = [
@@ -99,8 +101,9 @@ def test_serialize_ctrl_char_parity(spark, engine):
         "\x7fdel", "back\\slash", "mix\x02\x03\x04\x05\x06\x0e\x0f",
         "\x10\x11\x12\x13\x14\x15\x16\x17\x18\x19\x1a\x1b",
     ]
-    if engine == "pandas":
-        vals += ["\x85nel", "\xa0nbsp", "é中ok", "͸"]
+    if engine in ("pandas", "auto"):
+        vals += ["\x85nel", "\xa0nbsp", "é中ok", "\u0378",
+                 "\u2028ls", "ok\u00ad"]
     lines = [
         (f"c{i}", f'<13>1 - h a - - [id k="{v}"]', "rfc5424")
         for i, v in enumerate(vals)
@@ -215,11 +218,15 @@ def test_salted_counts_equal_plain(spark, synth):
 def test_resume_skips_completed(spark, synth, tmp_path):
     out = str(tmp_path / "out2")
     df = enrich(parse_tokens(spark.read.parquet(synth), Y, TZ))
-    route_write(df, out, spark, resume=False, write_metrics=False)
+    info0 = route_write(df, out, spark, resume=False, write_metrics=False)
     first = spark.read.parquet(f"{out}/routed").count()
-    # resumed run with identical input: everything already routed
+    # resumed run with identical input: everything already routed; the
+    # returned summary is CUMULATIVE (full manifest), so routed_rows and
+    # sink_stats match the first run, not this run's (empty) delta
     info = route_write(df, out, spark, resume=True, write_metrics=False)
-    assert info["skipped_sinks"] > 0 and info["routed_rows"] == 0
+    assert info["skipped_sinks"] > 0
+    assert info["routed_rows"] == info0["routed_rows"]
+    assert len(info["sink_stats"]) == len(info0["sink_stats"])
     assert spark.read.parquet(f"{out}/routed").count() == first
 
 
@@ -280,7 +287,10 @@ def test_resume_appends_new_sinks(spark, tmp_path):
     route_write(df1, out, spark, resume=False, write_metrics=False)
     n1 = read_routed(spark, out).count()
     manifest1 = spark.read.parquet(f"{out}/manifest")
-    sinks1 = manifest1.count()
+    old_keys = {
+        (r["sink_severity"], r["source"]) for r in manifest1.collect()
+    }
+    sinks1 = len(old_keys)
 
     # second batch with a NEW source value -> brand-new sinks
     second = generate_tokens_df(spark, 500, partitions=2).withColumn(
@@ -296,6 +306,12 @@ def test_resume_appends_new_sinks(spark, tmp_path):
     assert read_routed(spark, out).count() == n1 + 500
     manifest2 = spark.read.parquet(f"{out}/manifest")
     assert manifest2.count() > sinks1
+    # the returned summary is CUMULATIVE: previously completed sinks stay
+    # in sink_stats (so callers' aggregates keep them), not just this
+    # run's delta (round-2 ADVICE regression)
+    assert len(info["sink_stats"]) == manifest2.count()
+    stat_keys = {(r["sink_severity"], r["source"]) for r in info["sink_stats"]}
+    assert old_keys <= stat_keys
     # original sink rows unchanged
     assert (
         read_routed(spark, out)
