@@ -794,28 +794,47 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def smoke_token_corpus(spark, sf_dir):
+    """Materialize the SQL-reconstructable ascii token corpus ONCE per
+    sf_dir (parquet under /tmp, keyed by path): the per-char Catalyst
+    tokenization (`transform(split(line,''))`) is gate-CONSTRUCTION cost —
+    real input arrives as pre-tokenized parquet — so pipeline_smoke should
+    measure parse+enrich+rollup over a token table, not the construction
+    (round-2 verdict #6). Deterministic: pure function of the events
+    table."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = f"/tmp/syslog_spark_smoke_{key}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # shuffle barrier between construction and tokenization: stops
+        # Catalyst collapsing the projections and re-inlining the 60-term
+        # line expression into every per-char lambda (measured 12s vs ~1s)
+        lines = _spread(_t(spark, sf_dir, "events").select(
+            F.col("event_id").cast("string").alias("doc_id"),
+            F.expr(_RFC_LINE_SPARK).alias("line"),
+        ), spark)
+        tokens = lines.select(
+            "doc_id",
+            F.expr("transform(split(line, ''), c -> cast(ascii(c) as int))")
+            .alias("tokens"),
+            F.expr("cast(length(line) as int)").alias("n_tok"),
+            F.lit("rfc5424").alias("source"),
+        )
+        tokens.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def q_pipeline_smoke(spark, sf_dir):
     """Full tokens->parse->enrich path, oracle-checked: the token table is
     SQL-reconstructable (line -> per-byte ascii token arrays from the
-    events table), so detokenize + parse + enrich + rollup runs against a
-    DuckDB-computable severity histogram."""
+    events table, materialized once by smoke_token_corpus), so
+    detokenize + parse + enrich + rollup runs against a DuckDB-computable
+    severity histogram."""
     from syslog_spark.operators.enrich import enrich
 
-    # two-step with a shuffle barrier between: the barrier stops Catalyst
-    # from collapsing the projections and re-inlining the line expression
-    # into every per-char lambda (measured 12s vs ~1s at sf0.1)
-    lines = _spread(_t(spark, sf_dir, "events").select(
-        F.col("event_id").cast("string").alias("doc_id"),
-        F.expr(_RFC_LINE_SPARK).alias("line"),
-    ), spark)
-    tokens = lines.select(
-        "doc_id",
-        F.expr("transform(split(line, ''), c -> cast(ascii(c) as int))")
-        .alias("tokens"),
-        F.expr("cast(length(line) as int)").alias("n_tok"),
-        F.lit("rfc5424").alias("source"),
-    )
-    p = enrich(parse_tokens(tokens))
+    p = enrich(parse_tokens(smoke_token_corpus(spark, sf_dir)))
     return (
         p.filter(F.col("error_msg").isNull())
         .groupBy(
@@ -858,6 +877,108 @@ def q_parse_rfc5424_hard(spark, sf_dir):
     )
     p = with_canonical(parse_lines(_spread(lines, spark)))
     return p.select("doc_id", "canonical")
+
+
+# --- streaming gates -----------------------------------------------------------
+
+# hourly-spread timestamps so event-time windows are non-degenerate;
+# severity = (event_id%192)%8, hour = event_id%24 — both DuckDB-derivable
+_STREAM_LINE_SPARK = (
+    "concat('<', cast(pmod(event_id, 192) as int), "
+    "'>1 2024-01-01T', lpad(cast(pmod(event_id, 24) as string), 2, '0'), "
+    "':', lpad(cast(pmod(event_id, 60) as string), 2, '0'), "
+    "':00+00:00 host', cast(pmod(user_id, 50) as int), "
+    "' app p1 - [meta k=\"', event_type, '\"] ev', event_id)"
+)
+_STREAM_CORPUS_VERSION = "v1"
+
+
+def stream_token_corpus(spark, sf_dir) -> str:
+    """Materialize a deterministic token corpus for the streaming gates
+    (parquet under /tmp, keyed by sf_dir + construction version). Written
+    as several files so the file streaming source has a real listing."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + _STREAM_CORPUS_VERSION).encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/syslog_spark_stream_{key}"
+    tok_dir = f"{path}/tokens"
+    if not os.path.exists(os.path.join(tok_dir, "_SUCCESS")):
+        lines = _spread(_t(spark, sf_dir, "events").select(
+            F.col("event_id").cast("string").alias("doc_id"),
+            F.expr(_STREAM_LINE_SPARK).alias("line"),
+        ), spark)
+        tokens = lines.select(
+            "doc_id",
+            F.expr("transform(split(line, ''), c -> cast(ascii(c) as int))")
+            .alias("tokens"),
+            F.expr("cast(length(line) as int)").alias("n_tok"),
+            F.lit("rfc5424").alias("source"),
+        )
+        tokens.write.mode("overwrite").parquet(tok_dir)
+    return path
+
+
+def q_streaming_window_counts(spark, sf_dir):
+    """Structured Streaming end-to-end through the hash gate (round-2
+    verdict #8: streaming had pytest-only evidence): file streaming source
+    -> mapInArrow parse INSIDE a streaming query -> watermarked 1-hour
+    event-time window rollup -> memory sink, drained with
+    trigger(availableNow). Complete output mode makes the single-drain
+    result deterministic (the watermark only gates append-mode emission);
+    approx_hosts (HLL) is excluded — DuckDB can't reproduce a sketch.
+    Window bounds returned as epoch micros to dodge tz/dtype skew."""
+    import uuid
+
+    from syslog_spark.streaming.stream_pipeline import (
+        parse_stream, read_token_stream, windowed_severity_counts,
+    )
+
+    _ensure_shipped(spark)
+    base = stream_token_corpus(spark, sf_dir)
+    name = f"swc_{uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_severity_counts(
+            parse_stream(read_token_stream(spark, f"{base}/tokens")),
+            window="1 hour", watermark="2 hours",
+        )
+        .drop("approx_hosts")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        F.col("severity").cast("bigint").alias("severity"),
+        F.col("rows").cast("bigint").alias("rows"),
+    )
+
+
+def q_streaming_route_counts(spark, sf_dir):
+    """The checkpointed streaming ROUTE sink through the hash gate:
+    run_stream_once drains the corpus into the batch router's fan-out
+    layout (partitionBy sink_severity/source, exactly-once file sink).
+    Fixed checkpoint dir keyed by corpus: a re-invocation is a resume and
+    must produce identical per-sink counts (the exactly-once contract is
+    what makes this gate idempotent across driver reps)."""
+    from syslog_spark.streaming.stream_pipeline import run_stream_once
+
+    _ensure_shipped(spark)
+    base = stream_token_corpus(spark, sf_dir)
+    run_stream_once(
+        spark, f"{base}/tokens", f"{base}/out", f"{base}/checkpoint"
+    )
+    routed = spark.read.parquet(f"{base}/out/routed")
+    return routed.groupBy(
+        F.col("sink_severity").cast("bigint").alias("sink_severity"),
+        "source",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("rows"))
 
 
 # --- oracle SQL ----------------------------------------------------------------
@@ -1167,6 +1288,21 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") t(i, digest)"
         ),
+        "streaming_window_counts": """
+            SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+                            + to_hours(CAST(event_id % 24 AS BIGINT)))
+                       AS window_start_us,
+                   epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+                            + to_hours(CAST(event_id % 24 + 1 AS BIGINT)))
+                       AS window_end_us,
+                   (event_id % 192) % 8 AS severity,
+                   count(*) AS rows
+            FROM events GROUP BY 1, 2, 3""",
+        "streaming_route_counts": """
+            SELECT (event_id % 192) % 8 AS sink_severity,
+                   'rfc5424' AS source,
+                   count(*) AS rows
+            FROM events GROUP BY 1, 2""",
         "pipeline_smoke": f"""
             SELECT (event_id % 192) % 8 AS severity,
                    {_case_sql("((event_id % 192) % 8)", C.SEVERITY_NAMES)}
@@ -1265,6 +1401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pruned": q_ann_ivf_pruned,
         "pipeline_smoke": q_pipeline_smoke,
         "parse_rfc5424_hard": q_parse_rfc5424_hard,
+        "streaming_window_counts": q_streaming_window_counts,
+        "streaming_route_counts": q_streaming_route_counts,
     }
 
 
