@@ -224,6 +224,21 @@ def route_write(
         "spark.sql.sources.partitionOverwriteMode",
         "dynamic" if (resume or routed_exists) else "static",
     )
+    # commit protocol: v2 moves task output into place at TASK commit
+    # (parallel, no serial driver-side job-commit rename over every
+    # sink dir — measured ~0.9s of a ~8s write at 32 cores, and the
+    # serial cost grows with sinks x files_per_sink, i.e. with cluster
+    # size: a direct Amdahl penalty on the 4N config). Safe only for
+    # fresh overwrites, where a crashed job is rerun from scratch and
+    # the static truncate clears any partials. Resume/append runs keep
+    # v1: v2's task-visible partial files would double-write a sink
+    # that crashed mid-job on the next resume (manifest rows are only
+    # written after job success, so v1's invisible-until-job-commit is
+    # what makes the resume anti-join sound).
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "mapreduce.fileoutputcommitter.algorithm.version",
+        "1" if (resume or routed_exists) else "2",
+    )
     stage_t: dict[str, float] = {}
     _t0 = _time.monotonic()
     # row_cs is materialized BEFORE the shuffle (pipelined with the parse

@@ -108,12 +108,23 @@ def _data_str(data_objs: pd.Series) -> pd.Series:
     return pd.Series(out, index=data_objs.index)
 
 
+# stands in for NULL in the ts_micros column on its way into the pandas
+# UDF: a NULLABLE int64 Arrow column converts to float64 pandas (NaN for
+# nulls), and float64 only holds integers exactly to 2^53 — year-0 /
+# year-3000 epoch micros (~6.2e16) would come back off by a few micros
+# and shift the serialized second (caught by the auto-engine fuzz).
+# Never a real value: the grammar's year range 0000-9999 keeps
+# |ts_micros| < 2.6e17 << 2^63.
+TS_NULL_SENTINEL = -(2**63)
+
+
 def serialize_batch(
     priority, version, ts_micros, ts_nanos, tz_offset_seconds,
     hostname, appname, proc_id, msg_id, data, message,
 ) -> pd.Series:
     """Vectorized Message.Bytes over pandas columns. Null priority (error
-    rows) -> null output."""
+    rows) -> null output; ts_micros == TS_NULL_SENTINEL (or null) -> '-'
+    timestamp."""
     n = len(priority)
     if bool(priority.isna().all()):
         # all-null batch: nothing to serialize (error rows, or the auto
@@ -125,7 +136,7 @@ def serialize_batch(
     head = head + pd.Series(np.where(ver != 0, ver.astype(str), ""), index=head.index)
 
     ts_str = pd.Series(np.full(n, "-", object), index=head.index)
-    has_ts = ts_micros.notna()
+    has_ts = ts_micros.notna() & (ts_micros != TS_NULL_SENTINEL)
     if has_ts.any():
         ts_str[has_ts] = _format_ts(
             ts_micros[has_ts], ts_nanos[has_ts], tz_offset_seconds[has_ts]
@@ -317,16 +328,40 @@ def with_canonical(df, out_col: str = "canonical", engine: str = "auto"):
             hostname, appname, proc_id, msg_id, data, message,
         )
 
+    def _int_args(needs=None):
+        # ship the three int ts columns NULL-FREE (sentinel/zero instead
+        # of null) so Arrow->pandas keeps them int64: a nullable int64
+        # batch converts to float64 and loses exactness past 2^53 (see
+        # TS_NULL_SENTINEL)
+        def nn(c, sentinel):
+            col = F.coalesce(F.col(c), F.lit(sentinel))
+            if needs is not None:
+                col = F.when(needs, col).otherwise(F.lit(sentinel))
+            return col.cast("long")
+
+        def mask(c):
+            col = F.col(c)
+            if needs is not None:
+                col = F.when(needs, col).otherwise(F.lit(None))
+            return col
+
+        return [
+            mask("priority"), mask("version"),
+            nn("ts_micros", TS_NULL_SENTINEL), nn("ts_nanos", 0),
+            nn("tz_offset_seconds", 0),
+            mask("hostname"), mask("appname"), mask("proc_id"),
+            mask("msg_id"), mask("data"), mask("message"),
+        ]
+
     if engine == "pandas":
-        return df.withColumn(out_col, _ser(*_SER_COLS))
+        return df.withColumn(out_col, _ser(*_int_args()))
     if engine != "auto":
         raise ValueError(f"unknown engine {engine!r}")
 
     needs = needs_unicode_quote()
-    masked = [
-        F.when(needs, F.col(c)).otherwise(F.lit(None)) for c in _SER_COLS
-    ]
     return df.withColumn(
         out_col,
-        F.when(needs, _ser(*masked)).otherwise(canonical_line_expr()),
+        F.when(needs, _ser(*_int_args(needs))).otherwise(
+            canonical_line_expr()
+        ),
     )

@@ -37,7 +37,7 @@ def synth(spark, tmp_path_factory):
     return path
 
 
-@pytest.mark.parametrize("engine", ["sql", "pandas"])
+@pytest.mark.parametrize("engine", ["sql", "pandas", "auto"])
 def test_serialize_matches_oracle(spark, parsed, engine):
     rows = with_canonical(parsed, engine=engine).select(
         "doc_id", "canonical"
@@ -49,14 +49,23 @@ def test_serialize_matches_oracle(spark, parsed, engine):
         assert got[name] == want, (engine, name)
 
 
-def test_serialize_fuzz_parity(spark):
-    """SQL-engine canonical == oracle canonical over fuzzed VALID parses
-    (year 0000, odd offsets, multi-block SD, empty params...)."""
+@pytest.mark.parametrize("engine", ["sql", "auto"])
+def test_serialize_fuzz_parity(spark, engine):
+    """Engine canonical == oracle canonical over fuzzed VALID parses
+    (year 0000, odd offsets, multi-block SD, empty params...). The auto
+    (default) engine additionally fuzzes non-ASCII / non-printable param
+    values — the rows it must route to the go_quote-complete pandas
+    serializer (the sql engine is only contractually exact for ASCII
+    values, so its corpus stays ASCII)."""
     import random
 
     from syslog_spark.operators.parse import parse_lines
 
     rng = random.Random(99)
+    # NEL, NBSP, soft hyphen, LINE SEPARATOR, U+0378 (unassigned),
+    # printable non-ASCII, ASCII ctrl, BOM-in-value
+    exotic = ["\x85", "\xa0", "\u00ad", "\u2028", "\u0378",
+              "é", "中", "\x07", "\ufeff"]
     lines = []
     for i in range(300):
         pri = rng.randrange(0, 192)
@@ -65,15 +74,18 @@ def test_serialize_fuzz_parity(spark):
         frac = rng.choice(["", f".{rng.randrange(1, 10**9):09d}"])
         off = rng.choice(["+00:00", "+02:00", "-11:30", "+14:00"])
         ts = rng.choice(["-", f"{y}-01-2{i % 8}T1{i % 9}:0{i % 6}:5{i % 9}{frac}{off}"])
+        v = f"v{i}"
+        if engine == "auto" and rng.random() < 0.5:
+            v = f"v{rng.choice(exotic)}{i}{rng.choice(exotic)}"
         sd = rng.choice([
-            "-", "[a]", f'[z k="v{i}"][a x="1" b="2"]',
-            f'[m dup="1" dup="2" nil="-"]',
+            "-", "[a]", f'[z k="{v}"][a x="1" b="2"]',
+            f'[m dup="1" dup="{v}" nil="-"]',
         ])
         msg = rng.choice(["", " msg tail", " x"])
         lines.append((f"f{i}", f"<{pri}>{ver} {ts} h{i} app - m{i % 9} {sd}{msg}", "rfc5424"))
     df = spark.createDataFrame(lines, "doc_id string, line string, source string")
     parsed2 = parse_lines(df, Y, TZ, keep_raw=True)
-    rows = with_canonical(parsed2, engine="sql").select(
+    rows = with_canonical(parsed2, engine=engine).select(
         "doc_id", "raw", "canonical", "error_msg"
     ).collect()
     n_ok = 0

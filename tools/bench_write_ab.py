@@ -3,23 +3,28 @@
 
 Stages the PARSED table once (parse+enrich+sink-key+row_cs -> parquet on
 tmpfs), then times ONLY the routed write (repartition -> partitionBy
-parquet) under variant configs at 8 and 32 pinned CPUs. Same-era pairing:
-each variant runs its two configs back-to-back, so the per-variant
-efficiency is meaningful despite the box's cross-era 2x drift.
+parquet) under variant configs.
 
-Pseudo-variants `scan` and `shuffle` split the write into sub-stages:
-  scan    = read staged parquet -> noop
-  shuffle = read -> repartition(n, sev, source, salt) -> noop
-  base    = read -> repartition -> partitionBy parquet write (current prod)
+Noise discipline (this VM drifts 2-5x across eras): ALL variants run
+inside ONE Spark session per core count, interleaved over R rounds
+(v1 v2 v3 / v1 v2 v3 / ...), and each variant scores its MEDIAN across
+rounds — so every cross-variant comparison is same-era. Every knob is
+togglable per-write: committer algorithm via sc.hadoopConfiguration,
+codec via DataFrameWriter.option, concurrent writers via runtime SQL
+conf, salt count via our own argument.
 
-Usage: python tools/bench_write_ab.py [variant ...]
-Child: python tools/bench_write_ab.py _child <variant> <cores>
+Sub-stage pseudo-variants: `scan` (read->noop) and `shuffle`
+(read->repartition->noop) split the write stage per era.
+
+Usage: python tools/bench_write_ab.py [rounds]   (runs 8 then 32 CPUs)
+Child: python tools/bench_write_ab.py _child <cores> <rounds>
 """
 from __future__ import annotations
 
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import time
@@ -30,60 +35,35 @@ sys.path.insert(0, REPO)
 TOKENS = os.path.join(REPO, ".bench", "tokens_8000000")
 SHM = "/dev/shm/ab_write" if os.path.isdir("/dev/shm") else "/tmp/ab_write"
 STAGED = f"{SHM}/staged"
-REPS = int(os.environ.get("AB_REPS", "2"))
 
-# variant -> (session extra conf, write options)
-VARIANTS: dict[str, dict] = {
-    "scan": {},
-    "shuffle": {},
-    "base": {},
-    "v2commit": {
-        "conf": {
-            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2"
-        }
-    },
-    "files2": {"files_per_sink": 2},
-    "files2_v2": {
-        "files_per_sink": 2,
-        "conf": {
-            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2"
-        },
-    },
-    "uncomp": {
-        "conf": {"spark.sql.parquet.compression.codec": "uncompressed"}
-    },
-    "zstd": {"conf": {"spark.sql.parquet.compression.codec": "zstd"}},
-    "concwriters": {
-        "conf": {"spark.sql.maxConcurrentOutputFileWriters": "128"}
-    },
-}
+VARIANTS = [
+    "scan", "shuffle", "base", "v2commit", "files2", "uncomp", "concw",
+]
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _session(cores: int, extra: dict):
+def _session(cores: int):
     from syslog_spark.session import build_session
 
     threads = cores - 4 if cores >= 16 else cores
-    conf = {
-        "spark.ui.showConsoleProgress": "false",
-        "spark.driver.memory": "24g",
-        "spark.shuffle.compress": "false",
-        "spark.shuffle.spill.compress": "false",
-        "spark.local.dir": f"{SHM}/local_{cores}",
-        # staged table is one compact parquet dir; split it fine enough
-        # that the scan feeding the exchange isn't the bottleneck (in the
-        # real pipeline the map side is the 28-task parse stage)
-        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
-    }
-    conf.update(extra)
     return build_session(
         app_name=f"ab{cores}",
         master=f"local[{threads},2]",
         shuffle_partitions=max(cores, 8),
-        extra_conf=conf,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": "24g",
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+            "spark.local.dir": f"{SHM}/local_{cores}",
+            # split the compact staged table fine enough that the scan
+            # feeding the exchange isn't the bottleneck (in the real
+            # pipeline the map side is the wide parse stage)
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+        },
     )
 
 
@@ -96,7 +76,7 @@ def stage():
     from syslog_spark.operators.route import row_checksum, with_sink_key
 
     os.makedirs(SHM, exist_ok=True)
-    spark = _session(32, {})
+    spark = _session(32)
     t0 = time.monotonic()
     df = with_sink_key(
         enrich(parse_tokens(spark.read.parquet(TOKENS)))
@@ -106,62 +86,67 @@ def stage():
     spark.stop()
 
 
-def _child(variant: str, cores: int):
+def _one_write(spark, variant: str, out: str, par: int):
     from pyspark.sql import functions as F
 
-    v = VARIANTS[variant]
-    spark = _session(cores, v.get("conf", {}))
-    par = spark.sparkContext.defaultParallelism
-    files_per_sink = v.get("files_per_sink", max(2, par // 4))
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set(
+        "mapreduce.fileoutputcommitter.algorithm.version",
+        "2" if variant == "v2commit" else "1",
+    )
+    spark.conf.set(
+        "spark.sql.maxConcurrentOutputFileWriters",
+        "128" if variant == "concw" else "0",
+    )
+    files_per_sink = 2 if variant == "files2" else max(2, par // 4)
     n = par * 2
-    out = f"{SHM}/out_{variant}_{cores}"
-    times = []
-    for rep in range(REPS + 1):
-        shutil.rmtree(out, ignore_errors=True)
-        df = spark.read.parquet(STAGED)
-        salt = F.pmod(F.xxhash64("doc_id"), F.lit(files_per_sink))
-        t0 = time.monotonic()
-        if variant == "scan":
-            df.write.format("noop").mode("overwrite").save()
-        elif variant == "shuffle":
-            df.repartition(
-                n, F.col("sink_severity"), F.col("source"), salt
-            ).write.format("noop").mode("overwrite").save()
-        else:
-            (
-                df.repartition(
-                    n, F.col("sink_severity"), F.col("source"), salt
-                )
-                .write.mode("overwrite")
-                .partitionBy("sink_severity", "source")
-                .parquet(out)
-            )
-        dt = time.monotonic() - t0
-        if rep > 0:
-            times.append(dt)
-        log(f"  [{variant}/{cores}cpu] rep{rep}: {dt:.2f}s")
-    nfiles = 0
-    for _root, _dirs, fs in os.walk(out):
-        nfiles += sum(1 for f in fs if f.endswith(".parquet"))
+    df = spark.read.parquet(STAGED)
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(files_per_sink))
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.monotonic()
+    if variant == "scan":
+        df.write.format("noop").mode("overwrite").save()
+    elif variant == "shuffle":
+        df.repartition(
+            n, F.col("sink_severity"), F.col("source"), salt
+        ).write.format("noop").mode("overwrite").save()
+    else:
+        w = df.repartition(
+            n, F.col("sink_severity"), F.col("source"), salt
+        ).write.mode("overwrite").partitionBy("sink_severity", "source")
+        if variant == "uncomp":
+            w = w.option("compression", "uncompressed")
+        w.parquet(out)
+    return time.monotonic() - t0
+
+
+def _child(cores: int, rounds: int):
+    spark = _session(cores)
+    par = spark.sparkContext.defaultParallelism
+    out = f"{SHM}/out_{cores}"
+    # warm-up: python-worker-free job, but JIT/codegen/committer paths
+    _one_write(spark, "base", out, par)
+    times: dict[str, list[float]] = {v: [] for v in VARIANTS}
+    for rnd in range(rounds):
+        for v in VARIANTS:
+            dt = _one_write(spark, v, out, par)
+            times[v].append(dt)
+            log(f"  [{cores}cpu rnd{rnd}] {v:10s} {dt:6.2f}s")
     shutil.rmtree(out, ignore_errors=True)
     spark.stop()
+    med = {v: round(statistics.median(ts), 2) for v, ts in times.items()}
     print(
-        "AB_RESULT "
-        + json.dumps(
-            {
-                "variant": variant,
-                "cores": cores,
-                "best": round(min(times), 2),
-                "times": [round(t, 2) for t in times],
-                "files": nfiles,
-            }
-        ),
+        "AB_RESULT " + json.dumps({"cores": cores, "median": med, "all": {
+            v: [round(t, 2) for t in ts] for v, ts in times.items()}}),
         flush=True,
     )
 
 
-def run_child(variant: str, cores: int) -> dict:
-    cmd = [sys.executable, os.path.abspath(__file__), "_child", variant, str(cores)]
+def run_child(cores: int, rounds: int) -> dict:
+    cmd = [
+        sys.executable, os.path.abspath(__file__),
+        "_child", str(cores), str(rounds),
+    ]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     proc = subprocess.run(cmd, capture_output=True, text=True)
@@ -173,34 +158,28 @@ def run_child(variant: str, cores: int) -> dict:
             return json.loads(line[len("AB_RESULT "):])
     log(proc.stdout[-1500:])
     log(proc.stderr[-3000:])
-    raise RuntimeError(f"child failed: {variant} cores={cores}")
+    raise RuntimeError(f"child failed: cores={cores}")
 
 
 def main():
-    names = sys.argv[1:] or list(VARIANTS)
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     stage()
-    results = []
-    for i, name in enumerate(names):
-        order = (8, 32) if i % 2 == 0 else (32, 8)
-        got = {}
-        for c in order:
-            got[c] = run_child(name, c)
-        eff = (got[8]["best"] / got[32]["best"]) / 4.0
-        row = {
-            "variant": name,
-            "t8": got[8]["best"],
-            "t32": got[32]["best"],
-            "eff": round(eff, 3),
-            "files32": got[32]["files"],
-        }
-        results.append(row)
-        log(f"== {name}: t8={row['t8']}s t32={row['t32']}s "
-            f"eff={row['eff']} files32={row['files32']}")
-    print(json.dumps(results, indent=1), flush=True)
+    r8 = run_child(8, rounds)
+    r32 = run_child(32, rounds)
+    rows = []
+    for v in VARIANTS:
+        t8, t32 = r8["median"][v], r32["median"][v]
+        rows.append({
+            "variant": v, "t8": t8, "t32": t32,
+            "eff": round((t8 / t32) / 4.0, 3) if t32 else None,
+        })
+        log(f"== {v:10s} t8={t8:6.2f} t32={t32:6.2f} eff={rows[-1]['eff']}")
+    print(json.dumps({"rows": rows, "raw8": r8["all"], "raw32": r32["all"]},
+                     indent=1), flush=True)
 
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "_child":
-        _child(sys.argv[2], int(sys.argv[3]))
+        _child(int(sys.argv[2]), int(sys.argv[3]))
     else:
         main()
