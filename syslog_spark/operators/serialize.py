@@ -358,10 +358,17 @@ def with_canonical(df, out_col: str = "canonical", engine: str = "auto"):
     if engine != "auto":
         raise ValueError(f"unknown engine {engine!r}")
 
-    needs = needs_unicode_quote()
-    return df.withColumn(
+    # materialize the routing predicate ONCE: it appears in the branch
+    # condition and in every one of the 11 masked UDF inputs, and
+    # Catalyst does not CSE a nested-array exists() across a pandas-UDF
+    # boundary — inlining it re-scanned data.params 12x per row
+    # (measured ~2x on the serialize gate query)
+    tmp = "__needs_uquote"
+    needs = F.col(tmp)
+    out = df.withColumn(tmp, needs_unicode_quote()).withColumn(
         out_col,
         F.when(needs, _ser(*_int_args(needs))).otherwise(
             canonical_line_expr()
         ),
     )
+    return out.drop(tmp)
