@@ -660,6 +660,33 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_dups(docs, max_hamming=3).select("a", "b")
 
 
+def q_dedup_components(spark, sf_dir):
+    """Connected components over a near-dup pair list — the cluster-
+    assignment stage between candidate pairs and keep-one-per-cluster.
+    Deterministic chain construction (i—i+1000 for i<30, i+1000—i+2000
+    for i<15) forces TRANSITIVE merging (i and i+2000 share no edge);
+    DuckDB recomputes the closure with a recursive CTE. End-to-end wiring
+    (minhash pairs -> components -> dedupe_by_components) is pytest-
+    covered (tests/test_extras.py)."""
+    from syslog_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+    e1 = docs.filter(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1000).alias("b")
+    )
+    e2 = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 1000).alias("a"),
+        (F.col("doc_id") + 2000).alias("b"),
+    )
+    comps = connected_components(e1.unionAll(e2))
+    return comps.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
 def q_minhash_neardup(spark, sf_dir):
     """Minhash-LSH near-dup over the REAL documents table, oracle-checked:
     DuckDB recomputes exact all-pairs shingle Jaccard (inverted-index
@@ -1288,6 +1315,23 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") t(i, digest)"
         ),
+        "dedup_components": """
+            WITH RECURSIVE dirs AS (
+              SELECT doc_id AS a, doc_id + 1000 AS b
+              FROM documents WHERE doc_id < 30
+              UNION ALL
+              SELECT doc_id + 1000 AS a, doc_id + 2000 AS b
+              FROM documents WHERE doc_id < 15
+            ), edges AS (
+              SELECT a, b FROM dirs UNION ALL SELECT b AS a, a AS b FROM dirs
+            ), reach(node, label) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(label) AS BIGINT) AS component
+            FROM reach GROUP BY node""",
         "streaming_window_counts": """
             SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:00'
                             + to_hours(CAST(event_id % 24 AS BIGINT)))
@@ -1396,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "minhash_neardup": q_minhash_neardup,
+        "dedup_components": q_dedup_components,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_pruned": q_ann_ivf_pruned,

@@ -297,3 +297,94 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
         .select("a", "b", "hamming")
     )
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Undirected connected components over a near-dup pair list:
+    (node, component) where component = min node id reachable.
+
+    Min-label propagation: every node starts labelled with itself; each
+    round, each node takes the min of its own label and its neighbours'.
+    Convergence needs O(graph diameter) rounds — near-dup clusters are
+    shallow (a cluster's members all link to a shared survivor within a
+    hop or two), so this terminates in a handful of rounds even at
+    corpus scale; `max_iters` is the runaway bound (raises if hit, since
+    silently-partial components would merge-or-split clusters wrongly).
+
+    Scale shape: per round, one groupBy over the (symmetrized) edge list
+    joined to current labels — shuffles on node id only, labels frame is
+    2 longs per node, edges never mutate. The per-round convergence
+    check reuses the aggregated frame (single count of changed labels).
+    No driver-side graph state. For adversarial long-chain graphs an
+    alternating large-star/small-star contraction (O(log n) rounds)
+    would replace this; near-dup graphs do not need it.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionAll(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        # min neighbour label per node, folded with own label
+        neigh = (
+            edges.join(
+                labels.withColumnRenamed("node", "v").withColumnRenamed(
+                    "label", "v_label"
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("v_label").alias("neigh_label"))
+        )
+        merged = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("neigh_label"), F.col("label")),
+                ).alias("new_label"),
+                F.col("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = merged.filter(F.col("new_label") != F.col("label")).count()
+        labels = merged.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(graph diameter exceeds the bound — raise max_iters or use a "
+        "star-contraction variant)"
+    )
+
+
+def dedupe_by_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Keep ONE representative (min id) per near-dup component, plus all
+    docs that appear in no pair — the standard last stage of a corpus
+    dedup pipeline (pairs from minhash/simhash/embedding candidates).
+    One broadcast-sized join when the pair list is small relative to the
+    corpus; a plain shuffled left_anti otherwise (Spark picks via AQE)."""
+    comps = connected_components(pairs, a_col, b_col)
+    drop = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

@@ -255,3 +255,52 @@ def test_ivf_topk_explicit_centroids(spark):
     assert pruned == exact
     # n_probe=1 of 4: every result stays in the query's own cluster
     assert all(v % 4 == qid % 4 for qid, _, v in pruned)
+
+
+def test_connected_components_chains(spark):
+    """Transitive merging: chains a-b-c collapse to one component even
+    though a and c share no edge; singleton-pair clusters keep min id."""
+    from syslog_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "a long, b long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_dedupe_by_components_minhash_end_to_end(spark):
+    """Pairs from the real minhash detector -> components -> keep one per
+    cluster: a 3-doc near-identical cluster keeps only its min id, unique
+    docs survive untouched."""
+    from pyspark.sql import functions as F
+
+    from syslog_spark.operators.dedup import (
+        dedupe_by_components, near_duplicates_minhash,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long tune about shingled text and stable hashing in the park"
+    )
+    rows = [
+        (0, base), (1, base + " extra"), (2, "tail " + base),
+        (10, "completely different words about spark catalyst plans and "
+             "arrow batches flowing through vectorized parse kernels ok"),
+        (11, "yet another unrelated document mentioning parquet footers "
+             "bloom filters and dictionary encoded column chunks today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = near_duplicates_minhash(docs, threshold=0.5, n_hashes=64)
+    kept = sorted(
+        r["doc_id"] for r in dedupe_by_components(docs, pairs).collect()
+    )
+    assert kept == [0, 10, 11]
