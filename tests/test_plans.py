@@ -129,3 +129,19 @@ def test_single_shuffle_in_route_plan(spark):
     routed = df.repartition(8, "sink_severity", "source")
     plan = plan_of(routed)
     assert plan.count("Exchange") == 1
+
+
+def test_connected_components_no_cross_join(spark):
+    """The per-round propagation is equi-joins + a keyed agg — no
+    CartesianProduct, and the final labels carry no unbounded lineage
+    (localCheckpoint truncates each round, so the returned plan depends
+    only on the last round's frames)."""
+    from syslog_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "a long, b long"
+    )
+    comps = connected_components(pairs)
+    plan = plan_of(comps)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
