@@ -832,7 +832,12 @@ def smoke_token_corpus(spark, sf_dir):
     import hashlib
     import os
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # cache key includes the construction expression itself so edits to
+    # _RFC_LINE_SPARK invalidate the cached corpus (mirrors
+    # _STREAM_CORPUS_VERSION) instead of serving stale gate inputs
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + _RFC_LINE_SPARK).encode()
+    ).hexdigest()[:12]
     path = f"/tmp/syslog_spark_smoke_{key}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # shuffle barrier between construction and tokenization: stops
@@ -928,7 +933,8 @@ def stream_token_corpus(spark, sf_dir) -> str:
     import os
 
     key = hashlib.md5(
-        (os.path.abspath(sf_dir) + _STREAM_CORPUS_VERSION).encode()
+        (os.path.abspath(sf_dir) + _STREAM_CORPUS_VERSION + _STREAM_LINE_SPARK)
+        .encode()
     ).hexdigest()[:12]
     path = f"/tmp/syslog_spark_stream_{key}"
     tok_dir = f"{path}/tokens"

@@ -184,6 +184,23 @@ def read_local_table(path: str) -> list[dict]:
     return pq.read_table(path).to_pylist()
 
 
+def table_exists(spark, path: str) -> bool:
+    """Existence check that works for hdfs:///s3a:// out_dirs too: a
+    driver-local os.path.isdir is always False for remote URIs, which
+    would silently pick static overwrite and truncate a remote table the
+    docstring promises to preserve. Resolved through the Hadoop
+    FileSystem API of the path's own scheme."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+    except Exception:
+        import os as _os
+
+        return _os.path.isdir(path)
+
+
 def route_write(
     parsed: DataFrame,
     out_dir: str,
@@ -209,7 +226,6 @@ def route_write(
     commit; overwriting an EXISTING routed table without resume uses
     dynamic partition overwrite so sinks absent from the current batch are
     preserved (the static truncate-all would silently drop them)."""
-    import os as _os
     import time as _time
 
     spark = spark or parsed.sparkSession
@@ -218,12 +234,14 @@ def route_write(
     # static overwrite truncates the whole table in one step but is only
     # safe when nothing pre-exists; dynamic preserves untouched partitions
     # at the cost of a driver-side rename per partition dir (~10s/650 dirs
-    # measured) — pay it only when layering onto an existing table
-    routed_exists = _os.path.isdir(f"{out_dir}/{ROUTED}")
-    spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode",
-        "dynamic" if (resume or routed_exists) else "static",
-    )
+    # measured) — pay it only when layering onto an existing table.
+    # Both the overwrite mode and the committer version are passed as
+    # PER-WRITE writer options (newHadoopConfWithOptions copies them into
+    # this job's hadoop conf) — mutating spark.conf / the shared
+    # sparkContext hadoopConfiguration would leak the setting into every
+    # later write in the session.
+    routed_exists = table_exists(spark, f"{out_dir}/{ROUTED}")
+    overwrite_mode = "dynamic" if (resume or routed_exists) else "static"
     # commit protocol: v2 moves task output into place at TASK commit
     # (parallel, no serial driver-side job-commit rename over every
     # sink dir — measured ~0.9s of a ~8s write at 32 cores, and the
@@ -235,10 +253,7 @@ def route_write(
     # that crashed mid-job on the next resume (manifest rows are only
     # written after job success, so v1's invisible-until-job-commit is
     # what makes the resume anti-join sound).
-    spark.sparkContext._jsc.hadoopConfiguration().set(
-        "mapreduce.fileoutputcommitter.algorithm.version",
-        "1" if (resume or routed_exists) else "2",
-    )
+    committer_version = "1" if (resume or routed_exists) else "2"
     stage_t: dict[str, float] = {}
     _t0 = _time.monotonic()
     # row_cs is materialized BEFORE the shuffle (pipelined with the parse
@@ -262,6 +277,11 @@ def route_write(
     (
         df.repartition(n, F.col("sink_severity"), F.col("source"), salt)
         .write.mode(mode)
+        .option("partitionOverwriteMode", overwrite_mode)
+        .option(
+            "mapreduce.fileoutputcommitter.algorithm.version",
+            committer_version,
+        )
         .partitionBy("sink_severity", "source")
         .parquet(f"{out_dir}/{ROUTED}")
     )

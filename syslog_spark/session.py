@@ -26,8 +26,19 @@ def build_session(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
-    if shuffle_partitions is None:
+    # Respect an externally-configured master (spark-submit --master sets
+    # the spark.master JVM system property): only default to local[cpus]
+    # when the caller passed none AND the environment configured none.
+    # Builder options override system properties, so unconditionally
+    # calling .master(local[...]) would silently turn a cluster submit
+    # into a driver-local run.
+    inherited_master = None
+    if master is None:
+        inherited_master = _configured_master()
+        if inherited_master is None:
+            master = f"local[{cpus}]"
+    local_jvm = master is not None  # we are the ones starting the JVM
+    if shuffle_partitions is None and local_jvm:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
         shuffle_partitions = int(n) if n.isdigit() else 32
     # one BLAS/OMP thread per python worker — the workers ARE the
@@ -35,25 +46,57 @@ def build_session(
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "268435456")
     )
+    if local_jvm:
+        # driver.memory is only honoured before JVM start; under
+        # spark-submit the JVM already exists, so setting it is noise.
+        b = b.master(master).config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g")
+        )
+    if shuffle_partitions is not None:
+        # on an inherited cluster conf, leave shuffle.partitions to the
+        # submitter / AQE unless the caller asked for a specific value
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
     return spark
+
+
+def _configured_master() -> str | None:
+    """Return the externally-configured spark.master, if any.
+
+    Under `spark-submit script.py` the JVM already exists (py4j gateway
+    env vars are set) and --master landed in the JVM system properties,
+    which SparkConf(loadDefaults=True) reads. Standalone python has no
+    gateway yet — probing SparkConf there would needlessly start the JVM
+    before the builder does, so treat "no gateway env" as "no master".
+    """
+    for var in ("PYSPARK_GATEWAY_PORT", "PYSPARK_GATEWAY_SECRET"):
+        if os.environ.get(var):
+            break
+    else:
+        return os.environ.get("MASTER") or None
+    try:
+        from pyspark import SparkConf
+
+        conf = SparkConf(loadDefaults=True)
+        if conf.contains("spark.master"):
+            return conf.get("spark.master")
+    except Exception:
+        pass
+    return os.environ.get("MASTER") or None
 
 
 def _ship_package(spark: SparkSession) -> None:

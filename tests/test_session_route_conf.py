@@ -1,0 +1,73 @@
+"""Round-4 ADVICE regression tests: session master inheritance and
+per-write (non-leaking) route_write hadoop configuration."""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_configured_master_standalone_is_none(monkeypatch):
+    # standalone python (no py4j gateway env) must NOT probe/launch a JVM
+    # and reports no external master -> build_session defaults to local[]
+    from syslog_spark import session as S
+
+    monkeypatch.delenv("PYSPARK_GATEWAY_PORT", raising=False)
+    monkeypatch.delenv("PYSPARK_GATEWAY_SECRET", raising=False)
+    monkeypatch.delenv("MASTER", raising=False)
+    assert S._configured_master() is None
+    monkeypatch.setenv("MASTER", "spark://cluster:7077")
+    assert S._configured_master() == "spark://cluster:7077"
+
+
+def test_table_exists_local_and_remote_scheme(spark, tmp_path):
+    from syslog_spark.operators.route import table_exists
+
+    d = tmp_path / "routed"
+    assert not table_exists(spark, str(d))
+    d.mkdir()
+    assert table_exists(spark, str(d))
+    # file:// URI resolves through the Hadoop FileSystem of its scheme
+    assert table_exists(spark, f"file://{d}")
+    assert not table_exists(spark, f"file://{d}_missing")
+
+
+def test_route_write_does_not_leak_committer_conf(spark, sf_dir, tmp_path):
+    """The committer version / overwrite mode must be writer-scoped:
+    after a fresh route_write (which uses v2 + static), the session's
+    shared hadoopConfiguration and SQL conf are unchanged."""
+    from syslog_spark.operators.parse import parse_tokens
+    from syslog_spark.operators.route import route_write
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    before_committer = hconf.get(
+        "mapreduce.fileoutputcommitter.algorithm.version"
+    )
+    before_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+
+    tok = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .limit(200)
+        .select(
+            F.col("event_id").cast("string").alias("doc_id"),
+            F.expr(
+                "transform(split(concat('<13>1 2024-01-01T00:00:00+00:00 "
+                "h a p m - msg', event_id), ''), c -> cast(ascii(c) as int))"
+            ).alias("tokens"),
+            F.lit(0).alias("n_tok"),
+            F.lit("rfc5424").alias("source"),
+        )
+        .withColumn("n_tok", F.size("tokens"))
+    )
+    res = route_write(
+        parse_tokens(tok), str(tmp_path / "out"), spark, files_per_sink=1
+    )
+    assert res["routed_rows"] > 0
+
+    after_committer = hconf.get(
+        "mapreduce.fileoutputcommitter.algorithm.version"
+    )
+    after_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    assert after_committer == before_committer
+    assert after_mode == before_mode
