@@ -13,6 +13,7 @@ candidate generation at 100 TB; planes are a broadcast literal.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -76,9 +77,71 @@ def _planes(dim: int, n_bits: int = 64, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n_bits, dim)).astype(np.float64)
 
 
-def rh_signature(vec_col, dim: int, n_bits: int = 64, seed: int = 42) -> Column:
-    """Random-hyperplane signature as a bigint (pure Catalyst: one dot
-    product per bit against literal plane arrays, bit-packed)."""
+# above this many plane literals (n_bits * dim) the pure-Catalyst
+# signature stops being free: ~50-100k literal nodes per call at real
+# embedding widths (768-1536) bloat analysis time and can push generated
+# code past the 64KB JVM method limit, falling back to interpreted mode
+# exactly on the 100-TB operator. The pandas path is one Arrow-batched
+# matmul against a worker-side plane matrix instead.
+_CATALYST_SIG_MAX_LITERALS = 8192
+
+
+def rh_signature_batch(
+    vec_col, dim: int, n_bits: int = 64, seed: int = 42
+) -> Column:
+    """Random-hyperplane signature via ONE vectorized pandas UDF: batch
+    matmul against the (n_bits x dim) plane matrix + bit-pack. Planes are
+    regenerated deterministically inside the worker (same seeded
+    RandomState as _planes) — nothing rides the closure but three ints.
+
+    Bitwise-equivalent to the Catalyst form except when a plane dot lands
+    within float rounding of exactly 0 (summation order differs); for
+    continuous embeddings that is measure-zero and candidate differences
+    are absorbed by the exact-cosine verify stage anyway."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        planes = _planes(dim, n_bits, seed)  # deterministic per (args)
+        m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+        bits = (m @ planes.T) > 0  # (batch, n_bits)
+        weights = np.left_shift(
+            np.uint64(1), np.arange(n_bits, dtype=np.uint64)
+        )
+        packed = (bits.astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(packed.view(np.int64))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _sig(F.transform(c, lambda x: x.cast("double")))
+
+
+def rh_signature(
+    vec_col,
+    dim: int,
+    n_bits: int = 64,
+    seed: int = 42,
+    engine: str = "auto",
+) -> Column:
+    """Random-hyperplane signature as a bigint.
+
+    engine="catalyst": one JVM dot product per bit against literal plane
+    arrays, bit-packed — zero Python, but bakes n_bits*dim literals into
+    the plan. engine="pandas": rh_signature_batch (one Arrow matmul).
+    "auto" picks catalyst below _CATALYST_SIG_MAX_LITERALS and pandas
+    above, so small dims keep the pure-JVM plan and real embedding widths
+    never hit the codegen cliff."""
+    if engine == "auto":
+        engine = (
+            "catalyst"
+            if n_bits * dim <= _CATALYST_SIG_MAX_LITERALS
+            else "pandas"
+        )
+    if engine == "pandas":
+        return rh_signature_batch(vec_col, dim, n_bits, seed)
     v = _vec(vec_col)
     planes = _planes(dim, n_bits, seed)
     bit_cols = []

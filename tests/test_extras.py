@@ -304,3 +304,53 @@ def test_dedupe_by_components_minhash_end_to_end(spark):
         r["doc_id"] for r in dedupe_by_components(docs, pairs).collect()
     )
     assert kept == [0, 10, 11]
+
+
+def test_rh_signature_engines_agree(spark):
+    """The pandas batch-matmul signature is bitwise-equal to the Catalyst
+    per-bit literal form (differences require a plane dot within float
+    rounding of exactly 0 — measure-zero for continuous embeddings)."""
+    from syslog_spark.operators.similarity import rh_signature
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.normal(size=64).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    both = emb.select(
+        "vec_id",
+        rh_signature("embedding", dim=64, engine="catalyst").alias("s_cat"),
+        rh_signature("embedding", dim=64, engine="pandas").alias("s_pd"),
+    ).collect()
+    assert len(both) == 200
+    for r in both:
+        assert r["s_cat"] == r["s_pd"], r["vec_id"]
+
+
+def test_embedding_near_dups_dim768_no_plan_bloat(spark):
+    """Real embedding width (768): the signature must route to the pandas
+    matmul — plan analysis stays fast (no 50k literal nodes, no codegen
+    64KB fallback) and planted pairs are still found."""
+    import time
+
+    from syslog_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(40, 768))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    for i in range(5):
+        v = base[i].copy()
+        v[0] *= 1.001
+        rows.append((100 + i, v.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    t0 = time.monotonic()
+    df = embedding_near_dups(emb, threshold=0.9, dim=768)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    analyze_s = time.monotonic() - t0
+    # catalyst form at dim=768 bakes ~100k literals and takes minutes to
+    # analyze; the pandas route analyzes in well under 10s even cold
+    assert analyze_s < 10, f"plan analysis took {analyze_s:.1f}s"
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+    assert plan.count("-0.") + plan.count("0.") < 5000  # no plane literals
+
+    got = {(r["a"], r["b"]) for r in df.collect()}
+    assert got == {(i, 100 + i) for i in range(5)}
