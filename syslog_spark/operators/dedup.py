@@ -299,11 +299,98 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
     return pairs
 
 
+def star_contraction_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): converges in O(log n) alternations regardless of graph
+    diameter — the deep-chain regime where min-label propagation's
+    O(diameter) rounds would not terminate in a sane bound.
+
+    Per node u with closed-neighbourhood min m = min({u} U N(u)):
+      * large-star rewires every LARGER neighbour v > u to m,
+      * small-star rewires every SMALLER neighbour v < u to m.
+    Both also keep (u, m), which preserves connectivity of every original
+    edge within a single pass (each endpoint stays linked to the shared
+    min) at the cost of a few extra edges that the per-round distinct
+    absorbs. At the fixed point every component is a star centred on its
+    min node.
+
+    Scale shape: each half-round is one symmetrize + one groupBy-min +
+    one equi-join on node id — no driver graph state, no cartesian
+    products; lineage is cut per round with localCheckpoint. Convergence
+    is detected by a (count, xor-of-xxhash64) set signature going stable
+    across a full large+small alternation (the contraction potential is
+    strictly decreasing until the star fixed point, so a stable
+    signature IS the fixed point up to 2^-64 hash collisions)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    all_nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _signature(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("x"),
+        ).first()
+        return (row["n"], row["x"])
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        for large in (True, False):
+            sym = edges.unionAll(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            ).distinct()
+            mins = sym.groupBy("a").agg(
+                F.least(F.col("a"), F.min("b")).alias("m")
+            )
+            j = sym.join(mins, "a")
+            rewired = j.filter(
+                F.col("b") > F.col("a") if large else F.col("b") < F.col("a")
+            ).select(F.col("b").alias("a"), F.col("m").alias("b"))
+            kept = mins.select(F.col("a"), F.col("m").alias("b"))
+            edges = (
+                rewired.unionAll(kept)
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+        sig = _signature(edges)
+        if sig == prev_sig:
+            non_centers = edges.groupBy(F.col("a").alias("node")).agg(
+                F.min("b").alias("component")
+            )
+            return all_nodes.join(non_centers, "node", "left").select(
+                "node",
+                F.coalesce(F.col("component"), F.col("node")).alias(
+                    "component"
+                ),
+            )
+        prev_sig = sig
+    raise RuntimeError(
+        f"star_contraction_components did not converge in {max_rounds} "
+        "alternations — O(log n) bound exceeded; the edge list is likely "
+        "pathological (raise max_rounds)"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     max_iters: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Undirected connected components over a near-dup pair list:
     (node, component) where component = min node id reachable.
@@ -313,17 +400,24 @@ def connected_components(
     Convergence needs O(graph diameter) rounds — near-dup clusters are
     shallow (a cluster's members all link to a shared survivor within a
     hop or two), so this terminates in a handful of rounds even at
-    corpus scale; `max_iters` is the runaway bound (raises if hit, since
-    silently-partial components would merge-or-split clusters wrongly).
+    corpus scale.
+
+    ``algorithm``: "label" = propagation only (raises at max_iters, for
+    callers that treat a deep graph as a data bug); "star" = go straight
+    to star_contraction_components (O(log n) rounds, diameter-proof);
+    "auto" (default) = propagate up to max_iters, then FALL BACK to star
+    contraction instead of failing mid-pipeline — an adversarial chain
+    from greedy-transitive LSH output degrades to the logarithmic
+    algorithm rather than taking down the whole dedup job.
 
     Scale shape: per round, one groupBy over the (symmetrized) edge list
     joined to current labels — shuffles on node id only, labels frame is
     2 longs per node, edges never mutate. The per-round convergence
     check reuses the aggregated frame (single count of changed labels).
-    No driver-side graph state. For adversarial long-chain graphs an
-    alternating large-star/small-star contraction (O(log n) rounds)
-    would replace this; near-dup graphs do not need it.
+    No driver-side graph state.
     """
+    if algorithm == "star":
+        return star_contraction_components(pairs, a_col, b_col)
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionAll(
@@ -364,10 +458,22 @@ def connected_components(
         labels = merged.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
+    if algorithm == "auto":
+        # graph deeper than the propagation bound: degrade to the
+        # O(log n) contraction instead of failing the whole dedup job
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label propagation hit max_iters="
+            f"{max_iters} (deep graph); falling back to large-star/"
+            "small-star contraction",
+            stacklevel=2,
+        )
+        return star_contraction_components(pairs, a_col, b_col)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
-        "(graph diameter exceeds the bound — raise max_iters or use a "
-        "star-contraction variant)"
+        "(graph diameter exceeds the bound — raise max_iters, or use "
+        "algorithm='auto'/'star' for the O(log n) star contraction)"
     )
 
 

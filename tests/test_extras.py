@@ -354,3 +354,71 @@ def test_embedding_near_dups_dim768_no_plan_bloat(spark):
 
     got = {(r["a"], r["b"]) for r in df.collect()}
     assert got == {(i, 100 + i) for i in range(5)}
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """Star contraction and label propagation agree on a mixed graph
+    (several components, a cycle, a chain, isolated-pair edges)."""
+    from syslog_spark.operators.dedup import (
+        connected_components, star_contraction_components,
+    )
+
+    rng = np.random.RandomState(11)
+    edges = [(i, i + 1) for i in range(10)]            # chain 0..10
+    edges += [(20, 21), (21, 22), (22, 20)]            # cycle
+    edges += [(30, 31)]                                # pair
+    edges += [(int(rng.randint(40, 60)), int(rng.randint(40, 60)))
+              for _ in range(30)]                      # random blob(s)
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    want = {(r["node"], r["component"])
+            for r in connected_components(pairs, algorithm="label").collect()}
+    got = {(r["node"], r["component"])
+           for r in star_contraction_components(pairs).collect()}
+    assert got == want
+
+
+def test_star_contraction_deep_path_graph(spark):
+    """A 10k-node path graph (diameter 10k) — the adversarial case where
+    label propagation's O(diameter) rounds can never finish — converges
+    in O(log n) star alternations with the correct single component."""
+    from pyspark.sql import functions as F
+    from syslog_spark.operators.dedup import star_contraction_components
+
+    n = 10_000
+    pairs = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    )
+    comps = star_contraction_components(pairs)
+    agg = comps.agg(
+        F.countDistinct("component").alias("ncomp"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("component").alias("mn"),
+        F.max("component").alias("mx"),
+    ).first()
+    assert agg["n"] == n
+    assert agg["ncomp"] == 1
+    assert agg["mn"] == 0 and agg["mx"] == 0
+
+
+def test_connected_components_auto_falls_back(spark):
+    """algorithm='auto' degrades to star contraction instead of raising
+    when the propagation bound is hit mid-pipeline."""
+    import warnings
+
+    from syslog_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "a long, b long"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        comps = connected_components(pairs, max_iters=3).collect()
+    assert any("falling back" in str(x.message) for x in w)
+    assert {r["component"] for r in comps} == {0}
+    assert len(comps) == 61
+    with pytest.raises(RuntimeError):
+        connected_components(
+            pairs, max_iters=3, algorithm="label"
+        ).collect()

@@ -145,3 +145,17 @@ def test_connected_components_no_cross_join(spark):
     plan = plan_of(comps)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_star_contraction_no_cross_join(spark):
+    """The star-contraction fallback is also pure equi-joins + keyed aggs
+    with checkpoint-truncated lineage — no CartesianProduct/BNLJ."""
+    from syslog_spark.operators.dedup import star_contraction_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40)], "a long, b long"
+    )
+    comps = star_contraction_components(pairs)
+    plan = plan_of(comps)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
