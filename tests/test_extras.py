@@ -422,3 +422,49 @@ def test_connected_components_auto_falls_back(spark):
         connected_components(
             pairs, max_iters=3, algorithm="label"
         ).collect()
+
+
+def _simhash_fold_reference(hashes):
+    """The pre-vectorization per-row fold, kept as the semantic spec."""
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for i, hs in enumerate(hashes):
+        if hs is None or len(hs) == 0:
+            continue
+        h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        val = int(
+            ((votes > 0).astype(np.uint64)
+             * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum(
+                dtype=np.uint64
+            )
+        )
+        out[i] = val - (1 << 64) if val >= (1 << 63) else val
+    return out
+
+
+def test_simhash_fold_batch_matches_reference():
+    """The whole-batch reduceat fold is bitwise-identical to the per-row
+    reference, across empty/None/singleton/tie-heavy/large rows and
+    chunk boundaries."""
+    import pandas as pd
+
+    from syslog_spark.operators.dedup import _simhash_fold_batch
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(500):
+        k = int(rng.randint(0, 40))
+        rows.append(rng.randint(-2**63, 2**63, size=k, dtype=np.int64))
+    rows[3] = None
+    rows[7] = np.array([], dtype=np.int64)
+    rows[11] = np.array([7], dtype=np.int64)
+    # tie-heavy: equal votes must give bit 0 (votes > 0 strict)
+    rows[13] = np.array([0, -1], dtype=np.int64)
+    # one giant row to cross the 2^19-token chunk boundary mid-batch
+    rows[200] = rng.randint(-2**63, 2**63, size=600_000, dtype=np.int64)
+    got = _simhash_fold_batch(pd.Series(rows)).to_numpy()
+    want = _simhash_fold_reference(rows)
+    assert (got == want).all()
