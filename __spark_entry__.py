@@ -415,6 +415,103 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+# Expected md5(comma-joined floor(x*10000)) per synth_real_media_df(96)
+# row, precomputed by running multimodal._numpy_features on the same
+# deterministic REAL encoded payloads (BMP/PPM/WAV; integer-math test
+# patterns, order-fixed float arithmetic). None = the planted corrupt
+# payload (every 16th row).
+_MM_DECODE_DIGESTS = [
+    "979f32765f0f364047e74ff309f51470", "ea054139ea97ffe77486f12bdf1ac429",
+    "88300e162cb11d91682223fc61d26ffd", "8e85e3920303e5bc32f08ea056022b67",
+    "8d906b46b63c65833ca7eb7cfa16ccda", "a719b23bb14ea03ef27a8bac626df5b8",
+    "971894fc71ac903674cfd879a87ccfcb", "09e4df22460a52b8fcbece23a28c8fb6",
+    "989c7f4925b2cc01e9d33b791a2b8a2e", "28a6890fd33ed14209f9929cc5188376",
+    "dcfdda93f84ba4c04c38950a46d124cb", "db62a498d4f1bfa13e1f8a86a4fe6038",
+    "12c9e413ed158c0ce0ec681a5fba60c7", "33c6d90a9c8332aa2ab7acf9c639b5fb",
+    "a36d9a99584cfb36fef5a44e50f69d41", None,
+    "6dc0d939045ddb481b3f5f05c8f84d01", "d671aa88cab32a3597d6c8ee2dde4fd2",
+    "9b3a167e70cad0c31c5a656158b75d57", "ca7dec010acd714d815e22ebb454480b",
+    "39ff63960b67aa44b3e067de7ee93462", "76d360c9cf7b31cd76c7d4eeabd02a60",
+    "c3a37834ae53e034b90787c5b361354a", "249254b4d468341fd2baaba3963d1e49",
+    "f9a0c62fd2edc46857cb5367b34e1927", "aadec3a5ba49159a1fba8e992a8c473d",
+    "00f01d3380ab469f5ee92d56417f4099", "3dab9136ffec74db2ccec92b647dc63a",
+    "29ff64d6b6af111d08fa62f016f9b4a1", "fc3e51a93a62c7a85df18d869e728f71",
+    "b87af0e69b9964c3cb9340023c7dce93", None,
+    "1b0ce768a5b19277f374450ba7d369d3", "7e1d35cdeb17732c03aea4d0cc361fac",
+    "5f7b208c1a0e05230d603d3e0a631336", "f1178aedfc54263cfa1c9a19a36a9d69",
+    "5c8b778744aff1c0ddba70acc214eb69", "7bf06aa20e3130ffeaa6adcb7da38c52",
+    "2a5a5547c9668c0816ad23c2d13f2779", "9ba807cc1afcc8797e349f721bdec329",
+    "3f9616021bc2175643257bb67bfb7e0c", "c81ca2faa704aacdc52e86cb82bd2c85",
+    "5cca2f158ad87b8c1ba7e433c15d3413", "8a72cfa31f218742cabb9c73b5ac8f6b",
+    "8673231e3f14c62ece535b9761b42e98", "fcc01aa54db1ba2e67f8c00f8d18449f",
+    "cc2f8079b46d1fc83d2df97ec2b59604", None,
+    "5b3f6b09f1698b502794523ff65f66bd", "6fcaca21d316a651c75c5a19dc63cfaf",
+    "f080e6fc943637d19e14f36bf67f55cb", "698891f9066ef4784f4eec714db9512c",
+    "48c2d1d78ce4aa2d4564a3d5aed71627", "548094ffc6f3da96e9eb32271b04372f",
+    "8d6b6cb4129a71ec71d2ee7c8d796119", "34ad5989d8674a000a3771bbb3985840",
+    "7ac1b030e6e367afbbfe76083196fdf0", "b56a13a2fec2a857ca0004aa1d765b22",
+    "7fa2a27631478fad30f35e9b6c251685", "f321ea3f89b9b1be45d812a3aa1cf891",
+    "c3c84bc90a334623df63b444ecd06a9a", "0781447cd5034bb9c4b90dd9a7603f86",
+    "345e6a2ce1c74330e82e25c915eeb4b3", None,
+    "01d37c52dfd51a4a15a018b2d242a8c5", "6368e2097c9189f4dd6f892c5dc42c45",
+    "90fcc69b5e554fa4d07eb47f64073140", "2c170e8ab8a4df4be429258a37860b69",
+    "ce0f0ffa6937de10cbb0ec98d89120d4", "f03b4a5cfc1ced408a8e2706740c9412",
+    "dfb25be992aa177ebd5a7808e125f477", "e760bc2c5086118e8c3490a5defefa6b",
+    "7d459e802b6d51a3babd833716b6a736", "55982f9d847ea0254638226ddd361e0e",
+    "52e7dd7c64bbebf83e08b3a7df7fca91", "208600f6dd14d75bc9adc3d63358c55d",
+    "f6350d9ed749bb3113e1e278ff2bee3c", "c4a5149dd64a11dcb415d59c05dd198a",
+    "51313e90f9d979706eebfeb80a5e8a7b", None,
+    "80e01f3610e309de8052fa5de43a485a", "9f7ab56710cea0cae1221064a2dcea4b",
+    "f6b0213f358d393dceef51def0bb96ba", "864d166811220ceb98d4f011c84a6eaf",
+    "ff743e8e9cd5ee4dc978b7596ac57cf0", "810454807fa406281d933b13f086444f",
+    "684c5f5ef7dc9493bf63767acb06bd00", "becda4f2f0a9e7afe8b91d597054dfdb",
+    "84008490dd785d397d295941198558bd", "67198fa59c90a53caaf7cfe472c48426",
+    "c64ac6dfece6029fca39b0bfeb7bfe10", "d5004eda1c083bf030e5f586f1c717b2",
+    "b243712eb641e43d3aebe82a46274e6a", "35ae84266548896e33e58fc8d75b0a41",
+    "53b2382330f9b7aa766f034c79b33cf7", None,
+]
+
+_MM_DECODE_ERR = (
+    "decode failed: unrecognized payload format (want BMP/PPM/WAV)"
+)
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """REAL decode over real encoded bytes — no stub, no seeded RNG:
+    deterministic BMP/PPM images and WAV PCM16 audio are decoded by the
+    dependency-free numpy decoder (multimodal._numpy_features: header
+    parse, pixel/sample extraction, 8x8 block-mean pooling / 64
+    segment-energy bands) inside mapInPandas, and the resulting feature
+    CONTENT is pinned by the same quantized-digest scheme as
+    multimodal_features. Corrupt payloads (every 16th row) pin the
+    error path: null feature, verbatim decode_error."""
+    from syslog_spark.operators.multimodal import (
+        extract_features, synth_real_media_df,
+    )
+
+    _ensure_shipped(spark)
+    media = synth_real_media_df(spark, 96)
+    out = extract_features(media, decoder="numpy")
+    return out.select(
+        "doc_id", "modality",
+        F.size("feature").cast("bigint").alias("feature_dim"),
+        F.when(
+            F.col("decode_error").isNull(),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.expr(
+                        "transform(feature, "
+                        "x -> cast(floor(cast(x as double) * 10000d) "
+                        "as string))"
+                    ),
+                )
+            ),
+        ).alias("feature_digest"),
+        "decode_error",
+    )
+
+
 def q_route_counts(spark, sf_dir):
     p = _parse_rfc(spark, sf_dir)
     return (
@@ -1321,6 +1418,26 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") t(i, digest)"
         ),
+        "multimodal_decode": (
+            """
+            SELECT printf('r%04d', i) AS doc_id,
+                   CASE WHEN digest IS NULL THEN 'image'
+                        WHEN i % 3 = 2 THEN 'audio'
+                        ELSE 'image' END AS modality,
+                   CASE WHEN digest IS NULL THEN NULL
+                        ELSE CAST(64 AS BIGINT) END AS feature_dim,
+                   digest AS feature_digest,
+                   CASE WHEN digest IS NULL THEN '"""
+            + _MM_DECODE_ERR
+            + """'
+                        ELSE NULL END AS decode_error
+            FROM (VALUES """
+            + ", ".join(
+                f"({i}, " + ("NULL" if d is None else f"'{d}'") + ")"
+                for i, d in enumerate(_MM_DECODE_DIGESTS)
+            )
+            + ") t(i, digest)"
+        ),
         "dedup_components": """
             WITH RECURSIVE dirs AS (
               SELECT doc_id AS a, doc_id + 1000 AS b
@@ -1428,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_classes": q_error_classes,
         "route_counts": q_route_counts,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         "severity_rollup": q_severity_rollup,
         "agg_per_sink": q_agg_per_sink,
         "percentiles": q_percentiles,

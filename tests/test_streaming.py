@@ -181,3 +181,77 @@ def test_multimodal_to_ann_composition(spark):
         best = min(rows, key=lambda r: r["rank"])
         assert best["vec_id"] == qid and abs(best["cosine"] - 1.0) < 1e-6
     feats.unpersist()
+
+
+def test_numpy_decoders_roundtrip():
+    """Encoder->decoder roundtrips for the dependency-free real formats:
+    pixels and samples come back exactly (PCM) / as exact luma (images)."""
+    import numpy as np
+
+    from syslog_spark.operators import multimodal as M
+
+    pix = M._synth_image_pixels(4, 17, 23)
+    gray = M._decode_bmp(M.encode_bmp(pix))
+    f32 = pix.astype(np.float32)
+    want = 0.114 * f32[:, :, 2] + 0.587 * f32[:, :, 1] + 0.299 * f32[:, :, 0]
+    assert gray.shape == (17, 23)
+    assert np.abs(gray - want).max() < 1e-4
+
+    gray2 = M._decode_ppm(M.encode_ppm(pix))
+    assert gray2.shape == (17, 23)
+    assert np.abs(gray2 - want).max() < 1e-4
+
+    s = M._synth_audio_samples(3, 2111)
+    sig, rate = M._decode_wav_pcm16(M.encode_wav_pcm16(s))
+    assert rate == 16000 and (sig == s).all()
+
+    # PPM header extras: comments + multi-whitespace
+    hdr = b"P6\n# a comment\n 3\t2 # more\n255\n" + bytes(18)
+    assert M._decode_ppm(hdr).shape == (2, 3)
+
+    # stereo WAV averages channels
+    stereo = np.repeat(s[:100], 2)
+    raw = M.encode_wav_pcm16(s[:100])
+    # rebuild as 2-channel by hand: patch n_channels + block align
+    import struct
+    fmt_pos = raw.index(b"fmt ") + 8
+    patched = bytearray(M.encode_wav_pcm16(stereo))
+    patched[fmt_pos + 2:fmt_pos + 4] = struct.pack("<H", 2)
+    sig2, _ = M._decode_wav_pcm16(bytes(patched))
+    assert (sig2 == s[:100].astype(np.float32)).all()
+
+    for bad in (b"", b"BM123", b"P6\n1 1\n255\n", b"RIFF\x00\x00\x00\x00WAVE"):
+        try:
+            M._numpy_features(bad)
+            assert False, f"should have raised for {bad!r}"
+        except ValueError:
+            pass
+
+
+def test_numpy_decoder_end_to_end(spark):
+    """decoder='numpy' over real encoded payloads: unit-norm 64-dim
+    features for valid rows, error rows for the planted corrupt ones."""
+    import numpy as np
+
+    from syslog_spark.operators.multimodal import (
+        extract_features, synth_real_media_df,
+    )
+
+    out = extract_features(
+        synth_real_media_df(spark, 48), decoder="numpy"
+    ).collect()
+    assert len(out) == 48
+    ok = [r for r in out if r["decode_error"] is None]
+    bad = [r for r in out if r["decode_error"] is not None]
+    assert len(bad) == 3  # every 16th row
+    assert all("unrecognized payload" in r["decode_error"] for r in bad)
+    for r in ok:
+        v = np.array(r["feature"], dtype=np.float64)
+        assert v.shape == (64,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    # determinism across runs
+    out2 = extract_features(
+        synth_real_media_df(spark, 48), decoder="numpy"
+    ).collect()
+    assert {(r["doc_id"], tuple(r["feature"] or [])) for r in out} == \
+           {(r["doc_id"], tuple(r["feature"] or [])) for r in out2}
