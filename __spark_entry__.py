@@ -1111,6 +1111,46 @@ def q_streaming_route_counts(spark, sf_dir):
     ).agg(F.count(F.lit(1)).cast("bigint").alias("rows"))
 
 
+def q_streaming_host_totals(spark, sf_dir):
+    """The custom STATEFUL streaming operator through the hash gate (the
+    last SURVEY §2.8 stage with pytest-only evidence): per-hostname
+    running totals via applyInPandasWithState, drained with availableNow
+    over maxFilesPerTrigger=2 so state genuinely carries ACROSS
+    micro-batches. Update-mode memory sink emits one row per (host,
+    batch) with the cumulative total; the gate folds that to the final
+    state per host — max(running_total) must equal sum(batch_rows)
+    (asserted structurally by the oracle computing BOTH columns from the
+    same per-host count), independent of how the files were batched."""
+    import uuid
+
+    from syslog_spark.streaming.stream_pipeline import (
+        host_running_totals, parse_stream, read_token_stream,
+    )
+
+    _ensure_shipped(spark)
+    base = stream_token_corpus(spark, sf_dir)
+    name = f"sht_{uuid.uuid4().hex[:8]}"
+    q = (
+        host_running_totals(
+            parse_stream(
+                read_token_stream(
+                    spark, f"{base}/tokens", max_files_per_trigger=2
+                )
+            )
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("hostname").agg(
+        F.max("running_total").cast("bigint").alias("running_total"),
+        F.sum("batch_rows").cast("bigint").alias("rows"),
+    )
+
+
 # --- oracle SQL ----------------------------------------------------------------
 
 
@@ -1470,6 +1510,11 @@ def oracle_sql() -> dict[str, str]:
                    'rfc5424' AS source,
                    count(*) AS rows
             FROM events GROUP BY 1, 2""",
+        "streaming_host_totals": """
+            SELECT 'host' || (user_id % 50) AS hostname,
+                   count(*) AS running_total,
+                   count(*) AS rows
+            FROM events GROUP BY 1""",
         "pipeline_smoke": f"""
             SELECT (event_id % 192) % 8 AS severity,
                    {_case_sql("((event_id % 192) % 8)", C.SEVERITY_NAMES)}
@@ -1572,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_rfc5424_hard": q_parse_rfc5424_hard,
         "streaming_window_counts": q_streaming_window_counts,
         "streaming_route_counts": q_streaming_route_counts,
+        "streaming_host_totals": q_streaming_host_totals,
     }
 
 
