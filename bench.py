@@ -167,6 +167,22 @@ def _pipeline_child(cores: int, tokens_path: str) -> None:
         .write.format("noop").mode("overwrite").save()
     )
     best["parse_shuffle_seconds"] = round(_time.monotonic() - t0, 2)
+    # SAME-ERA kernel ceiling: run the bare-process Arrow kernel at this
+    # child's core count, inside this child's taskset mask, seconds after
+    # the parse-stage timing (the Spark JVM idles meanwhile). Round-4
+    # lesson: this box's era noise swings the kernel ceiling itself
+    # 0.55-0.87 across minutes, so comparing a parse efficiency from one
+    # era against a kernel ceiling probed in another fabricated round
+    # 3's "unexplained Spark-side gap". Probing here makes
+    # parse-vs-kernel a same-era, same-cpuset comparison.
+    try:
+        import bench_kernel
+
+        kr = max(bench_kernel.run(cores, 100_000) for _ in range(2))
+        best["kernel_rate_same_era"] = round(kr, 0)
+    except Exception as e:
+        log(f"  same-era kernel probe failed: {e}")
+        best["kernel_rate_same_era"] = None
     spark.stop()
     shutil.rmtree(shm, ignore_errors=True)
     print("PIPELINE_RESULT " + json.dumps(best), flush=True)
@@ -261,7 +277,8 @@ def run_headline(sf_dir: str) -> dict:
     return times
 
 
-def write_baseline_md(p8, p32, eff, effs, parse_eff, kernel, times):
+def write_baseline_md(p8, p32, eff, effs, parse_eff, kernel, times,
+                      same_era=None):
     os.makedirs("BENCH", exist_ok=True)
     qlines = "\n".join(f"| {k} | {v:.2f} |" for k, v in times.items())
     kern_line = "(kernel bench unavailable)"
@@ -313,10 +330,19 @@ only parts of the job that touch the box's SHARED memory/disk path, and
 they are where the efficiency goes (see tools/bench_write_ab.py for the
 same-session interleaved variant study: committer v2 and file-count
 reductions each shave the 32-CPU write; the shuffle sub-stage scales
-NEGATIVELY on this single-memory-bus VM).
+NEGATIVELY on this single-memory-bus VM). tools/bench_parse_profile.py
+decomposes the parse stage itself into scan / Arrow-ship / detokenize /
+kernel layers with an in-worker kernel timer and bare-process
+memory-bandwidth + kernel probes; tools/bench_ship_ab.py A/B-tested
+halving the shipped token width (array<smallint>) — no win (median
+ratio 1.08 at 32 cores), the JVM-side cast costs what the IPC saves.
 
 **Scaling efficiency (rate32/rate8)/4: median {eff:.3f} over paired
 rounds {effs}; parse stage alone {parse_eff:.3f}.**
+
+### Same-era parse-vs-kernel comparison (round 4)
+
+{(same_era or "(no same-era kernel probes recorded)")}
 
 ### The machine's own ceiling for this workload
 
@@ -385,11 +411,48 @@ def main():
         (a["parse_only_seconds"] / b["parse_only_seconds"]) / 4.0
         for a, b in zip(runs[8], runs[32])
     )
+    # same-era kernel ceiling per round (probed INSIDE each pinned child,
+    # seconds after its parse timing) and the parse-vs-kernel ratio: if
+    # ~1.0, the parse stage scales exactly as well as the bare kernel
+    # does in its own era — no Spark-side scaling loss
+    kernel_effs = []
+    parse_vs_kernel = []
+    for a, b in zip(runs[8], runs[32]):
+        k8, k32 = a.get("kernel_rate_same_era"), b.get("kernel_rate_same_era")
+        if k8 and k32:
+            ke = (k32 / k8) / 4.0
+            kernel_effs.append(round(ke, 3))
+            pe = (a["parse_only_seconds"] / b["parse_only_seconds"]) / 4.0
+            parse_vs_kernel.append(round(pe / ke, 3))
+    kernel_eff_same_era = (
+        statistics.median(kernel_effs) if kernel_effs else None
+    )
+    parse_vs_kernel_ratio = (
+        statistics.median(parse_vs_kernel) if parse_vs_kernel else None
+    )
 
     kernel = run_kernel_bench()
 
     times = run_headline(SF_DIR)
-    write_baseline_md(p8, p32, eff, effs, parse_eff, kernel, times)
+    same_era = None
+    if kernel_eff_same_era is not None:
+        same_era = (
+            "The bare-process kernel ceiling is probed INSIDE each pinned "
+            "pipeline child, seconds after its parse-stage timing — a "
+            "same-era, same-cpuset pairing (this box's era noise swings "
+            "the ceiling itself 0.55-0.87 across minutes, so round 3's "
+            "cross-era comparison manufactured a phantom Spark-side "
+            f"gap). Same-era kernel efficiency: median "
+            f"{kernel_eff_same_era:.3f} over rounds {kernel_effs}; "
+            f"parse-stage efficiency divided by its own round's kernel "
+            f"efficiency: median {parse_vs_kernel_ratio:.3f} over rounds "
+            f"{parse_vs_kernel} (1.0 = the Spark parse stage scales "
+            "exactly as the bare kernel does in the same era; >=0.9 "
+            "means Spark adds no measurable scaling loss on top of the "
+            "machine)."
+        )
+    write_baseline_md(p8, p32, eff, effs, parse_eff, kernel, times,
+                      same_era)
 
     out = {
         "metric": "headline_suite_seconds",
@@ -405,6 +468,14 @@ def main():
         "parse_stage_efficiency_8_to_32": round(parse_eff, 3),
         "kernel_ceiling_efficiency_8_to_32": (
             kernel or {}).get("efficiency_8_to_32"),
+        "kernel_same_era_efficiency_8_to_32": kernel_eff_same_era,
+        "kernel_same_era_efficiency_rounds": kernel_effs,
+        "parse_vs_kernel_same_era_ratio": parse_vs_kernel_ratio,
+        "parse_vs_kernel_same_era_rounds": parse_vs_kernel,
+        "kernel_rate_same_era": {
+            "8": [r.get("kernel_rate_same_era") for r in runs[8]],
+            "32": [r.get("kernel_rate_same_era") for r in runs[32]],
+        },
         "stage_seconds_local32": p32.get("stage_seconds", {}),
         "stage_seconds_local8": p8.get("stage_seconds", {}),
         "parse_only_seconds": {

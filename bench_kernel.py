@@ -15,7 +15,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+def _rows_arg() -> int:
+    # importable from other tools (bench.py's in-child same-era probe):
+    # argv may belong to the importer, so ignore non-numeric values
+    try:
+        return int(sys.argv[1])
+    except (IndexError, ValueError):
+        return 250_000
+
+
+ROWS = _rows_arg()
 BATCH = 32_768
 
 
