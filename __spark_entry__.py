@@ -620,14 +620,23 @@ def q_dedup_exact(spark, sf_dir):
     hash-match on the empty set and prove nothing."""
     from syslog_spark.operators.dedup import exact_duplicate_groups
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
-    )
-    planted = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30).select(
-        F.concat(F.lit("dup-"), F.col("doc_id").cast("string")).alias("doc_id"),
+    # single scan: every row emits itself, rows with doc_id < 30 emit a
+    # second 'dup-<id>' copy via explode (VERDICT r3 nit: the planted
+    # union used to scan the parquet twice)
+    base = _t(spark, sf_dir, "documents")
+    docs = base.select(
+        F.explode(
+            F.when(
+                F.col("doc_id") < 30,
+                F.array(
+                    F.col("doc_id").cast("string"),
+                    F.concat(F.lit("dup-"), F.col("doc_id").cast("string")),
+                ),
+            ).otherwise(F.array(F.col("doc_id").cast("string")))
+        ).alias("doc_id"),
         "text",
     )
-    return exact_duplicate_groups(docs.unionAll(planted)).select(
+    return exact_duplicate_groups(docs).select(
         "digest",
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("keep_doc_id").alias("keep_doc_id"),
