@@ -810,6 +810,52 @@ def q_minhash_neardup(spark, sf_dir):
     )
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """END-TO-END corpus dedup through the hash gate: minhash-LSH
+    candidates -> exact-Jaccard verify -> connected components (with the
+    round-4 star-contraction fallback available) -> keep-one-per-cluster,
+    over the REAL documents table. The DuckDB oracle recomputes exact
+    all-pairs shingle Jaccard (inverted index), takes the >= 0.7 pair
+    graph's recursive-CTE closure, and keeps min-id representatives plus
+    unpaired docs. Valid end-to-end because banding at (64, 32) has
+    ~1-4e-10 recall at J=0.7 (see minhash_neardup, which pins the pair
+    sets equal on this same corpus/params)."""
+    from syslog_spark.operators.dedup import (
+        dedupe_by_components, near_duplicates_minhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_duplicates_minhash(
+        docs, threshold=0.7, bands=32, n_hashes=64
+    )
+    return dedupe_by_components(docs, pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+
+
+def q_lsh_bucket_stats(spark, sf_dir):
+    """The LSH monitoring side-output (cap-tuning observability: a
+    bucket_size above the candidate cap means truncation happened)
+    through the hash gate: 20 byte-identical docs + 100 distinct
+    sha256-hex docs. The identical group fills exactly ONE bucket per
+    band (size 20); the hex docs are band-collision-free on this
+    deterministic corpus, so the >= min_size output is exactly 16 rows.
+    The opaque bucket hash is dropped; (band, bucket_size) is the
+    contract."""
+    from syslog_spark.operators.dedup import lsh_bucket_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(
+            F.col("doc_id") < 20, F.lit("the hot identical document body")
+        ).otherwise(F.sha2(F.col("doc_id").cast("string"), 256)).alias("text"),
+    )
+    return lsh_bucket_stats(docs, bands=16, n_hashes=64, min_size=2).select(
+        F.col("band").cast("bigint").alias("band"),
+        F.col("bucket_size").cast("bigint").alias("bucket_size"),
+    )
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
     """Blocked-LSH embedding near-dup (the 100-TB shape: no cross join),
     oracle-checked on a constructed corpus: each vec_id < 200 gets a
@@ -1392,6 +1438,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = a
             JOIN sz sb ON sb.doc_id = b
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7""",
+        "dedup_pipeline": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(length(text)-4, 1)),
+                       i -> substring(text, i, 5))) AS s
+              FROM documents
+            ), sz AS (
+              SELECT doc_id, len(s) AS n FROM sh
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            ), common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT a, b FROM common
+              JOIN sz sa ON sa.doc_id = a
+              JOIN sz sb ON sb.doc_id = b
+              WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
+            ), edges AS (
+              SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+            ), reach(node, label) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+            ), drop_ids AS (
+              SELECT node FROM reach GROUP BY node
+              HAVING node != min(label)
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM drop_ids)""",
+        "lsh_bucket_stats": """
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(20 AS BIGINT) AS bucket_size
+            FROM generate_series(0, 15) t(band)""",
         "embedding_neardup_lsh": """
             WITH a AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1618,6 +1700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "minhash_neardup": q_minhash_neardup,
+        "dedup_pipeline": q_dedup_pipeline,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
         "dedup_components": q_dedup_components,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
