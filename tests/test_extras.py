@@ -468,3 +468,45 @@ def test_simhash_fold_batch_matches_reference():
     got = _simhash_fold_batch(pd.Series(rows)).to_numpy()
     want = _simhash_fold_reference(rows)
     assert (got == want).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_star_contraction_random_graphs_vs_union_find(spark, seed):
+    """Star contraction agrees with a driver-side union-find ground truth
+    on random multigraphs (self-loops, duplicate edges, many components,
+    varying density)."""
+    from syslog_spark.operators.dedup import star_contraction_components
+
+    rng = np.random.RandomState(100 + seed)
+    n_nodes = int(rng.randint(10, 60))
+    n_edges = int(rng.randint(5, 80))
+    edges = [
+        (int(rng.randint(n_nodes)), int(rng.randint(n_nodes)))
+        for _ in range(n_edges)
+    ]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges if e[0] != e[1] for x in e}
+    want = {}
+    for x in sorted(touched):
+        r = find(x)
+        want[x] = min(y for y in touched if find(y) == r)
+
+    real_edges = [(a, b) for a, b in edges if a != b]
+    if not real_edges:
+        pytest.skip("degenerate: all self-loops")
+    pairs = spark.createDataFrame(real_edges, "a long, b long")
+    got = {r["node"]: r["component"]
+           for r in star_contraction_components(pairs).collect()}
+    assert got == want
