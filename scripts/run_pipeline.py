@@ -50,6 +50,10 @@ def main() -> int:
                     help="skip per-partition lineage metrics")
     ap.add_argument("--master", default=None,
                     help="standalone only; under spark-submit leave unset")
+    ap.add_argument("--direct", default="auto",
+                    choices=("auto", "never", "always"),
+                    help="fused pyarrow read+parse for local parquet dirs "
+                         "(auto: only when input is a local directory)")
     args = ap.parse_args()
 
     from syslog_spark import constants as C
@@ -72,6 +76,7 @@ def main() -> int:
         ),
         resume=args.resume,
         write_metrics=not args.no_metrics,
+        direct_parquet=args.direct,
     )
     res = run_pipeline(spark, args.input, args.out, cfg)
     res.pop("sink_stats", None)

@@ -34,16 +34,44 @@ class PipelineConfig:
     resume: bool = False
     exact_percentiles: bool = True
     write_metrics: bool = True
+    # fused pyarrow read+parse for plain LOCAL parquet dirs: skips the
+    # JVM row->Arrow feed conversion (the non-scaling cost identified by
+    # the in-worker timer; 13% faster at 8 cores / 24% at 32, bitwise
+    # identical output — tools/bench_direct_ab.py). "auto" uses it only
+    # when the input is a local parquet directory; Iceberg tables and
+    # remote paths always take the catalog/scan reader.
+    direct_parquet: str = "auto"  # "auto" | "never" | "always"
+
+
+def _can_read_direct(input_path: str) -> bool:
+    import os
+
+    return (
+        not input_path.startswith("iceberg:")
+        and "://" not in input_path
+        and os.path.isdir(input_path)
+    )
 
 
 def parsed_frame(
     spark: SparkSession, input_path: str, cfg: PipelineConfig | None = None
 ) -> DataFrame:
     cfg = cfg or PipelineConfig()
-    tokens = read_tokens(spark, input_path)
-    return enrich(
-        parse_tokens(tokens, cfg.reference_year, cfg.reference_tz_offset)
+    use_direct = cfg.direct_parquet == "always" or (
+        cfg.direct_parquet == "auto" and _can_read_direct(input_path)
     )
+    if use_direct:
+        from ..sources.direct import parse_tokens_direct
+
+        parsed = parse_tokens_direct(
+            spark, input_path, cfg.reference_year, cfg.reference_tz_offset
+        )
+    else:
+        tokens = read_tokens(spark, input_path)
+        parsed = parse_tokens(
+            tokens, cfg.reference_year, cfg.reference_tz_offset
+        )
+    return enrich(parsed)
 
 
 def run_pipeline(

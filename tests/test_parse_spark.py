@@ -93,3 +93,77 @@ def test_new_parser_fixed_format(spark):
     assert row["priority"] == 191 and row["hostname"] == "hostname"
     with _pytest.raises(ValueError):
         new_parser("rfc3164")
+
+
+def test_direct_source_matches_standard(spark, tmp_path):
+    """The fused pyarrow read+parse source (sources/direct.py) produces a
+    row set identical to spark.read.parquet -> parse_tokens over the same
+    partitioned token dir, including error rows and nested data."""
+    from pyspark.sql import functions as F
+
+    from syslog_spark.operators.parse import parse_tokens
+    from syslog_spark.sources.datagen import write_token_table
+    from syslog_spark.sources.direct import parse_tokens_direct
+
+    path = str(tmp_path / "tok")
+    write_token_table(spark, path, 30_000, partitions=6)
+
+    def snap(df):
+        return df.select(
+            F.xxhash64(
+                "doc_id", "priority", "version", "ts_micros", "ts_nanos",
+                "tz_offset_seconds", "hostname", "appname", "proc_id",
+                "msg_id", "message", "error_msg", "error_column",
+                "failed_stage", F.col("data"), "source", "n_tok",
+            ).alias("h")
+        ).agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor("h").alias("cs")
+        ).first()
+
+    a = snap(parse_tokens(spark.read.parquet(path)))
+    b = snap(parse_tokens_direct(spark, path))
+    assert (a["n"], a["cs"]) == (b["n"], b["cs"])
+
+
+def test_direct_source_flat_unpartitioned_dir(spark, tmp_path):
+    """Direct source also reads a flat (non-hive) parquet dir where
+    `source` is a physical column."""
+    from pyspark.sql import functions as F
+
+    from syslog_spark.operators.parse import parse_tokens
+    from syslog_spark.sources.datagen import generate_tokens_df
+    from syslog_spark.sources.direct import parse_tokens_direct
+
+    path = str(tmp_path / "flat")
+    generate_tokens_df(spark, 5_000, 4).write.mode("overwrite").parquet(path)
+    std = parse_tokens(spark.read.parquet(path))
+    direct = parse_tokens_direct(spark, path)
+    assert std.count() == direct.count() == 5_000
+    s = {r["doc_id"] for r in std.select("doc_id").collect()}
+    d = {r["doc_id"] for r in direct.select("doc_id").collect()}
+    assert s == d
+
+
+def test_pipeline_direct_auto(spark, tmp_path):
+    """run_pipeline with direct_parquet='auto' (local dir -> fused read)
+    routes the same rows as the standard reader."""
+    from syslog_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from syslog_spark.sources.datagen import write_token_table
+
+    path = str(tmp_path / "tok")
+    write_token_table(spark, path, 10_000, partitions=4)
+    r1 = run_pipeline(
+        spark, path, str(tmp_path / "out1"),
+        PipelineConfig(direct_parquet="never"),
+    )
+    r2 = run_pipeline(
+        spark, path, str(tmp_path / "out2"),
+        PipelineConfig(direct_parquet="auto"),
+    )
+    assert r1["routed_rows"] == r2["routed_rows"] > 0
+    assert r1["error_rows"] == r2["error_rows"]
+    m1 = {(r["sink_severity"], r["source"], r["rows"], r["row_set_checksum"])
+          for r in spark.read.parquet(f"{tmp_path}/out1/manifest").collect()}
+    m2 = {(r["sink_severity"], r["source"], r["rows"], r["row_set_checksum"])
+          for r in spark.read.parquet(f"{tmp_path}/out2/manifest").collect()}
+    assert m1 == m2
