@@ -121,8 +121,6 @@ def _pipeline_child(cores: int, tokens_path: str) -> None:
     shuffle/output writers — a real cluster has per-node local disks."""
     import time as _time
 
-    from syslog_spark.operators.enrich import enrich
-    from syslog_spark.operators.parse import parse_tokens
     from syslog_spark.plans.pipeline import run_pipeline
 
     shm = "/dev/shm/bench_spark" if os.path.isdir("/dev/shm") else "/tmp/bench_spark"
@@ -153,12 +151,16 @@ def _pipeline_child(cores: int, tokens_path: str) -> None:
     # shuffle = (b) - (a)
     from pyspark.sql import functions as F
     from syslog_spark.operators.route import with_sink_key
+    from syslog_spark.plans.pipeline import parsed_frame
 
-    tok = spark.read.parquet(tokens_path)
+    # parse_only must time the SAME parse path run_pipeline used above
+    # (direct_parquet="auto" -> fused pyarrow read+parse for this local
+    # token dir), else the sub-stage attribution mixes feed paths
     t0 = _time.monotonic()
-    enrich(parse_tokens(tok)).write.format("noop").mode("overwrite").save()
+    parsed_frame(spark, tokens_path).write.format("noop").mode(
+        "overwrite").save()
     best["parse_only_seconds"] = round(_time.monotonic() - t0, 2)
-    df = with_sink_key(enrich(parse_tokens(tok)))
+    df = with_sink_key(parsed_frame(spark, tokens_path))
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(max(2, threads // 4)))
     t0 = _time.monotonic()
     (
@@ -343,6 +345,12 @@ rounds {effs}; parse stage alone {parse_eff:.3f}.**
 ### Same-era parse-vs-kernel comparison (round 4)
 
 {(same_era or "(no same-era kernel probes recorded)")}
+
+Stable (non-regenerated) round-4 investigation notes:
+BENCH/SCALING_NOTES_r4.md — four same-day runs + the in-worker kernel
+timer attribute round 3's parse "gap" to cross-era comparison plus the
+single-JVM feed cost, and record the fused direct-parquet source
+(13%/24% faster at 8/32 cores) that removed it.
 
 ### The machine's own ceiling for this workload
 
