@@ -1010,6 +1010,19 @@ def smoke_token_corpus(spark, sf_dir):
     return spark.read.parquet(path)
 
 
+def smoke_token_corpus_path(spark, sf_dir) -> str:
+    """Materialize (if needed) and return the smoke corpus DIRECTORY —
+    for sources that consume a path (sources/direct.py)."""
+    import hashlib
+    import os
+
+    smoke_token_corpus(spark, sf_dir)
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + _RFC_LINE_SPARK).encode()
+    ).hexdigest()[:12]
+    return f"/tmp/syslog_spark_smoke_{key}"
+
+
 def q_pipeline_smoke(spark, sf_dir):
     """Full tokens->parse->enrich path, oracle-checked: the token table is
     SQL-reconstructable (line -> per-byte ascii token arrays from the
@@ -1019,6 +1032,29 @@ def q_pipeline_smoke(spark, sf_dir):
     from syslog_spark.operators.enrich import enrich
 
     p = enrich(parse_tokens(smoke_token_corpus(spark, sf_dir)))
+    return (
+        p.filter(F.col("error_msg").isNull())
+        .groupBy(
+            F.col("severity").cast("bigint").alias("severity"),
+            "severity_name",
+        )
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+
+
+def q_pipeline_direct(spark, sf_dir):
+    """The fused pyarrow read+parse source (sources/direct.py — workers
+    read the parquet splits themselves; no JVM row->Arrow feed) through
+    the hash gate, over the same materialized token corpus and with the
+    same severity-histogram oracle as pipeline_smoke: identical results
+    through a completely different feed path is the correctness claim
+    the 24%-at-32-cores bench win rests on."""
+    from syslog_spark.operators.enrich import enrich
+    from syslog_spark.sources.direct import parse_tokens_direct
+
+    _ensure_shipped(spark)
+    path = smoke_token_corpus_path(spark, sf_dir)
+    p = enrich(parse_tokens_direct(spark, path))
     return (
         p.filter(F.col("error_msg").isNull())
         .groupBy(
@@ -1612,6 +1648,12 @@ def oracle_sql() -> dict[str, str]:
                        AS severity_name,
                    count(*) AS rows
             FROM events GROUP BY 1, 2""",
+        "pipeline_direct": f"""
+            SELECT (event_id % 192) % 8 AS severity,
+                   {_case_sql("((event_id % 192) % 8)", C.SEVERITY_NAMES)}
+                       AS severity_name,
+                   count(*) AS rows
+            FROM events GROUP BY 1, 2""",
         "parse_rfc5424_hard": """
             SELECT CAST(event_id AS VARCHAR) AS doc_id,
               CASE event_id % 4
@@ -1707,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_pruned": q_ann_ivf_pruned,
         "pipeline_smoke": q_pipeline_smoke,
+        "pipeline_direct": q_pipeline_direct,
         "parse_rfc5424_hard": q_parse_rfc5424_hard,
         "streaming_window_counts": q_streaming_window_counts,
         "streaming_route_counts": q_streaming_route_counts,
