@@ -66,15 +66,34 @@ def parse_tokens_direct(
     ref_tz: int = C.DEFAULT_REFERENCE_TZ_OFFSET_SECONDS,
     keep_raw: bool = False,
     batch_rows: int = 32768,
+    source_prefixes: list[str] | None = None,
 ) -> DataFrame:
     """Parquet token dir -> parsed DataFrame, one fused read+parse stage.
 
     Same output schema/semantics as operators.parse.parse_tokens over
     spark.read.parquet(path) (asserted equal in tests); only the feed
-    path differs. `ts` is added JVM-side exactly like parse_tokens."""
+    path differs. `ts` is added JVM-side exactly like parse_tokens.
+
+    ``source_prefixes`` is the direct path's partition pruning: on a
+    hive `source=` layout, files whose partition value does not start
+    with one of the prefixes are never opened (the file-list analogue of
+    Catalyst pruning `WHERE source LIKE 'rfc5424%'` down to directory
+    listings)."""
     from pyspark.sql import functions as F
 
     files = list_parquet_files(path)
+    if source_prefixes is not None:
+        files = [
+            (f, src)
+            for f, src in files
+            if src is None  # flat files: value unknown pre-read, keep
+            or any(src == p or src.startswith(p + "/")
+                   for p in source_prefixes)
+        ]
+        if not files:
+            raise FileNotFoundError(
+                f"no partitions under {path} match {source_prefixes}"
+            )
     bc = spark.sparkContext.broadcast(files)
 
     def fn(batches):

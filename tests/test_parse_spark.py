@@ -167,3 +167,64 @@ def test_pipeline_direct_auto(spark, tmp_path):
     m2 = {(r["sink_severity"], r["source"], r["rows"], r["row_set_checksum"])
           for r in spark.read.parquet(f"{tmp_path}/out2/manifest").collect()}
     assert m1 == m2
+
+
+def test_direct_source_partition_pruning(spark, tmp_path):
+    """source_prefixes prunes at the FILE-LIST level (the direct path's
+    analogue of Catalyst partition pruning) and matches the standard
+    reader's filtered result."""
+    from pyspark.sql import functions as F
+
+    from syslog_spark.operators.parse import parse_tokens
+    from syslog_spark.sources.datagen import write_token_table
+    from syslog_spark.sources.direct import (
+        list_parquet_files, parse_tokens_direct,
+    )
+
+    path = str(tmp_path / "tok")
+    write_token_table(spark, path, 20_000, partitions=4)
+
+    pruned_files = [
+        src for _, src in list_parquet_files(path)
+        if src is not None and (src == "rfc5424" or src.startswith("rfc5424/"))
+    ]
+    assert pruned_files  # layout sanity
+
+    std = (
+        parse_tokens(spark.read.parquet(path))
+        .filter(
+            (F.col("source") == "rfc5424")
+            | F.col("source").startswith("rfc5424/")
+        )
+    )
+    direct = parse_tokens_direct(spark, path, source_prefixes=["rfc5424"])
+    n_std, n_direct = std.count(), direct.count()
+    assert n_std == n_direct > 0
+    with pytest.raises(FileNotFoundError):
+        parse_tokens_direct(spark, path, source_prefixes=["nope"]).count()
+
+
+def test_direct_source_single_large_file(spark, tmp_path):
+    """A file larger than batch_rows splits into multiple kernel batches
+    (to_batches slicing), preserving row-set equality."""
+    from pyspark.sql import functions as F
+
+    from syslog_spark.operators.parse import parse_tokens
+    from syslog_spark.sources.datagen import generate_tokens_df
+    from syslog_spark.sources.direct import parse_tokens_direct
+
+    path = str(tmp_path / "big")
+    generate_tokens_df(spark, 80_000, 8).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    std = parse_tokens(spark.read.parquet(path))
+    direct = parse_tokens_direct(spark, path, batch_rows=32768)
+    a = std.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("doc_id", "message", "error_msg")).alias("cs"),
+    ).first()
+    b = direct.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("doc_id", "message", "error_msg")).alias("cs"),
+    ).first()
+    assert (a["n"], a["cs"]) == (b["n"], b["cs"])
