@@ -103,20 +103,36 @@ def parse_tokens_direct(
         cols = ["doc_id", "tokens", "n_tok", "source"]
 
         def file_tables(b):
+            # small files load whole (they get buffered into full
+            # batches below); big files STREAM in batch_rows chunks so a
+            # 512MB split never materializes entirely in worker RAM
             for idx in b.column("id").to_pylist():
                 fpath, src = bc.value[idx]
                 file_cols = [
                     c for c in cols if c != "source" or src is None
                 ]
-                t = pq.read_table(fpath, columns=file_cols)
-                if t.num_rows == 0:
-                    continue
-                if src is not None:
-                    t = t.append_column(
-                        "source",
-                        pa.array([src] * t.num_rows, pa.string()),
-                    )
-                yield t.select(cols)
+                pf = pq.ParquetFile(fpath)
+                try:
+                    if pf.metadata.num_rows <= 4 * batch_rows:
+                        chunks = [pf.read(columns=file_cols)]
+                    else:
+                        chunks = (
+                            pa.Table.from_batches([rb])
+                            for rb in pf.iter_batches(
+                                batch_size=batch_rows, columns=file_cols
+                            )
+                        )
+                    for t in chunks:
+                        if t.num_rows == 0:
+                            continue
+                        if src is not None:
+                            t = t.append_column(
+                                "source",
+                                pa.array([src] * t.num_rows, pa.string()),
+                            )
+                        yield t.select(cols)
+                finally:
+                    pf.close()
 
         # token files are often much smaller than one Arrow batch (the
         # salted fan-out writes many ~10k-row files): BUFFER across files

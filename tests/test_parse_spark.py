@@ -218,7 +218,9 @@ def test_direct_source_single_large_file(spark, tmp_path):
         "overwrite"
     ).parquet(path)
     std = parse_tokens(spark.read.parquet(path))
-    direct = parse_tokens_direct(spark, path, batch_rows=32768)
+    # batch_rows=8192 makes 80k rows exceed the 4x streaming threshold,
+    # so this exercises the iter_batches (big-file) branch
+    direct = parse_tokens_direct(spark, path, batch_rows=8192)
     a = std.agg(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64("doc_id", "message", "error_msg")).alias("cs"),
