@@ -15,6 +15,9 @@ same-era by construction):
            numpy (memory-bandwidth floor of actually LOOKING at data).
   detok  : touch-equivalent plus detokenize_array (list<int32> -> str).
   parse  : the full parse stage (detok + fastpath kernel + merge).
+  direct : the fused pyarrow read+parse source (sources/direct.py) —
+           same kernel, no JVM feed; its in-worker kernel seconds land
+           in the same timing files as `parse`.
 
 Efficiency of layer X = (t8[X] / t32[X]) / 4. The layer where efficiency
 collapses is the culprit; kernel-era probes (bench_kernel) bracket the
@@ -135,24 +138,31 @@ def _child(cores: int, reps: int):
         enrich(parse_tokens(tok)).write.format("noop").mode(
             "overwrite").save()
 
+    def direct():
+        from syslog_spark.sources.direct import parse_tokens_direct
+
+        enrich(parse_tokens_direct(spark, TOKENS)).write.format(
+            "noop").mode("overwrite").save()
+
     layers = [("scan", scan), ("ship", ship), ("touch", touch),
-              ("detok", detok), ("parse", parse)]
+              ("detok", detok), ("parse", parse), ("direct", direct)]
     best: dict[str, float] = {}
     stall_reps = []
     for rep in range(reps + 1):  # rep0 warms every layer
         for name, f in layers:
-            pre = _timing_totals() if name == "parse" else None
+            pre = _timing_totals() if name in ("parse", "direct") else None
             t0 = time.monotonic()
             f()
             dt = time.monotonic() - t0
             log(f"  [{cores}cpu] rep{rep} {name}: {dt:.2f}s")
             if rep and (name not in best or dt < best[name]):
                 best[name] = round(dt, 2)
-            if name == "parse" and rep:
+            if name in ("parse", "direct") and rep:
                 post = _timing_totals()
                 ks = post["kernel_s"] - pre["kernel_s"]
                 rw = post["rows"] - pre["rows"]
                 stall_reps.append({
+                    "layer": name,
                     "wall_s": round(dt, 2),
                     "kernel_core_s": round(ks, 2),
                     "kernel_rows": rw,
@@ -280,7 +290,8 @@ def main():
                 eff[name] = round((t_lo / t_hi) / ratio, 3)
         out["layer_efficiency"] = eff
         # incremental (layer minus previous layer) timings per core count
-        order = ["scan", "ship", "touch", "detok", "parse"]
+        order = ["scan", "ship", "touch", "detok", "parse"]  # direct is
+        # not an increment of parse — reported standalone
         incr = {}
         for c in cores:
             b = results[c]["best"]
