@@ -31,7 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import constants as C
-from ..operators.parse import parse_record_batch
+from ..operators.parse import make_kernel_runner
 from ..operators.schema import parsed_spark_schema
 
 
@@ -100,6 +100,7 @@ def parse_tokens_direct(
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        run = make_kernel_runner(ref_year, ref_tz, keep_raw)
         cols = ["doc_id", "tokens", "n_tok", "source"]
 
         def file_tables(b):
@@ -142,7 +143,7 @@ def parse_tokens_direct(
         def emit(table):
             for rb in table.combine_chunks().to_batches(batch_rows):
                 if rb.num_rows:
-                    yield parse_record_batch(rb, ref_year, ref_tz, keep_raw)
+                    yield run(rb)
 
         for b in batches:
             buf, buffered = [], 0
