@@ -71,3 +71,46 @@ def test_route_write_does_not_leak_committer_conf(spark, sf_dir, tmp_path):
     after_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     assert after_committer == before_committer
     assert after_mode == before_mode
+
+
+def _mini_tokens(spark, src: str, n: int = 120):
+    return (
+        spark.range(n)
+        .select(
+            F.concat(F.lit(src + "-"), F.col("id").cast("string"))
+            .alias("doc_id"),
+            F.expr(
+                "transform(split(concat('<13>1 2024-01-01T00:00:00+00:00 "
+                "h a p m - msg', id), ''), c -> cast(ascii(c) as int))"
+            ).alias("tokens"),
+            F.lit(0).alias("n_tok"),
+            F.lit(src).alias("source"),
+        )
+        .withColumn("n_tok", F.size("tokens"))
+    )
+
+
+def test_route_write_layering_preserves_other_sinks(spark, tmp_path):
+    """Overwriting an EXISTING routed table without resume must use
+    dynamic partition overwrite (passed as a WRITER option since round
+    4): sinks absent from the new batch survive. If the per-write option
+    were silently ignored, the static truncate would drop source 'a'
+    here."""
+    from syslog_spark.operators.parse import parse_tokens
+    from syslog_spark.operators.route import route_write
+
+    out = str(tmp_path / "out")
+    route_write(
+        parse_tokens(_mini_tokens(spark, "rfc5424/a")), out, spark,
+        files_per_sink=1,
+    )
+    route_write(
+        parse_tokens(_mini_tokens(spark, "rfc5424/b")), out, spark,
+        files_per_sink=1,
+    )
+    sources = {
+        r["source"]
+        for r in spark.read.parquet(f"{out}/routed")
+        .select("source").distinct().collect()
+    }
+    assert sources == {"rfc5424/a", "rfc5424/b"}
