@@ -973,6 +973,22 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def _smoke_corpus_cache_path(sf_dir) -> str:
+    """Single source of truth for the smoke-corpus cache location: the
+    key includes the construction expression itself so edits to
+    _RFC_LINE_SPARK invalidate the cached corpus (mirrors
+    _STREAM_CORPUS_VERSION). Shared by smoke_token_corpus and
+    smoke_token_corpus_path — a drifted copy would materialize under one
+    path and read another (round-4 review finding)."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + _RFC_LINE_SPARK).encode()
+    ).hexdigest()[:12]
+    return f"/tmp/syslog_spark_smoke_{key}"
+
+
 def smoke_token_corpus(spark, sf_dir):
     """Materialize the SQL-reconstructable ascii token corpus ONCE per
     sf_dir (parquet under /tmp, keyed by path): the per-char Catalyst
@@ -981,16 +997,7 @@ def smoke_token_corpus(spark, sf_dir):
     measure parse+enrich+rollup over a token table, not the construction
     (round-2 verdict #6). Deterministic: pure function of the events
     table."""
-    import hashlib
-    import os
-
-    # cache key includes the construction expression itself so edits to
-    # _RFC_LINE_SPARK invalidate the cached corpus (mirrors
-    # _STREAM_CORPUS_VERSION) instead of serving stale gate inputs
-    key = hashlib.md5(
-        (os.path.abspath(sf_dir) + _RFC_LINE_SPARK).encode()
-    ).hexdigest()[:12]
-    path = f"/tmp/syslog_spark_smoke_{key}"
+    path = _smoke_corpus_cache_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # shuffle barrier between construction and tokenization: stops
         # Catalyst collapsing the projections and re-inlining the 60-term
@@ -1013,14 +1020,8 @@ def smoke_token_corpus(spark, sf_dir):
 def smoke_token_corpus_path(spark, sf_dir) -> str:
     """Materialize (if needed) and return the smoke corpus DIRECTORY —
     for sources that consume a path (sources/direct.py)."""
-    import hashlib
-    import os
-
     smoke_token_corpus(spark, sf_dir)
-    key = hashlib.md5(
-        (os.path.abspath(sf_dir) + _RFC_LINE_SPARK).encode()
-    ).hexdigest()[:12]
-    return f"/tmp/syslog_spark_smoke_{key}"
+    return _smoke_corpus_cache_path(sf_dir)
 
 
 def q_pipeline_smoke(spark, sf_dir):

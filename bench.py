@@ -177,11 +177,27 @@ def _pipeline_child(cores: int, tokens_path: str) -> None:
     # era against a kernel ceiling probed in another fabricated round
     # 3's "unexplained Spark-side gap". Probing here makes
     # parse-vs-kernel a same-era, same-cpuset comparison.
+    # subprocess (not in-process fork): the bench child carries a live
+    # py4j gateway + arrow thread pools, and a forked kernel worker that
+    # wedges on an inherited lock would hang q.get() forever — the
+    # subprocess boundary plus timeout bounds the damage to one probe
     try:
-        import bench_kernel
+        import subprocess as _sp
 
-        kr = max(bench_kernel.run(cores, 100_000) for _ in range(2))
-        best["kernel_rate_same_era"] = round(kr, 0)
+        _proc = _sp.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_kernel.py"),
+             "100000", str(cores)],
+            capture_output=True, text=True, timeout=300,
+        )
+        kr = None
+        for line in _proc.stdout.splitlines():
+            if line.startswith("{"):
+                kr = json.loads(line)["procs"][str(cores)]
+        best["kernel_rate_same_era"] = kr
+        if kr is None:
+            log(f"  same-era kernel probe no-json: {_proc.stderr[-300:]}")
     except Exception as e:
         log(f"  same-era kernel probe failed: {e}")
         best["kernel_rate_same_era"] = None

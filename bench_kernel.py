@@ -84,6 +84,20 @@ def run(procs: int, rows_per_proc: int) -> float:
 
 def main():
     mp.set_start_method("spawn")
+    # optional second arg: a single proc count — used by bench.py's
+    # same-era probe (run as a subprocess with a timeout so a wedged
+    # forked worker can't hang the multi-hour bench run)
+    only = None
+    if len(sys.argv) > 2:
+        try:
+            only = int(sys.argv[2])
+        except ValueError:
+            only = None
+    if only is not None:
+        best = max(run(only, ROWS) for _ in range(2))
+        print(json.dumps({"procs": {str(only): round(best, 0)},
+                          "rows_per_proc": ROWS}))
+        return
     out = {}
     for procs in (8, 32):
         best = 0.0

@@ -264,9 +264,23 @@ def _simhash_fold_batch(hashes: pd.Series) -> pd.Series:
         s_lens = lens[order]
         ends = np.cumsum(s_lens)
         sigs = np.empty(order.size, dtype=np.uint64)
-        chunk_rows = 2048  # ~28 MB uint8 working set at ~220 tokens/row
-        for c0 in range(0, order.size, chunk_rows):
-            c1 = min(c0 + chunk_rows, order.size)
+        # chunk bound is an ELEMENT budget, not a fixed row count: rows
+        # are sorted by length so a chunk's max is its last row, and the
+        # padded tensor stays <= ~2^22 cells (~270 MB of unpacked bits)
+        # even when one document has millions of tokens. A fixed 2048
+        # rows would pad the WHOLE chunk to the outlier's length —
+        # multi-GB for a single 100k-token doc (round-4 review finding).
+        chunk_elems = 1 << 22
+        max_chunk_rows = 2048
+        c0 = 0
+        while c0 < order.size:
+            c1 = c0 + 1  # always progress, even on one giant row
+            while (
+                c1 < order.size
+                and c1 - c0 < max_chunk_rows
+                and (c1 - c0 + 1) * int(s_lens[c1]) <= chunk_elems
+            ):
+                c1 += 1
             ls = s_lens[c0:c1]
             lmax = int(ls[-1])  # sorted: last is the chunk max
             pad = np.zeros(((c1 - c0), lmax), dtype=np.int64)
@@ -285,6 +299,7 @@ def _simhash_fold_batch(hashes: pd.Series) -> pd.Series:
             sigs[c0:c1] = (votes_pos.astype(np.uint64) * weights).sum(
                 axis=1, dtype=np.uint64
             )
+            c0 = c1
         out[order] = sigs
     return pd.Series(out.view(np.int64))
 
@@ -464,6 +479,10 @@ def connected_components(
     check reuses the aggregated frame (single count of changed labels).
     No driver-side graph state.
     """
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}; expected auto|label|star"
+        )
     if algorithm == "star":
         return star_contraction_components(pairs, a_col, b_col)
     edges = (

@@ -196,6 +196,12 @@ def table_exists(spark, path: str) -> bool:
         fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         return bool(fs.exists(jpath))
     except Exception:
+        if "://" in path:
+            # remote URI and the FS probe failed (transient store error,
+            # auth, missing connector jar): do NOT guess "absent" — a
+            # wrong False picks static overwrite and truncates the very
+            # table this function exists to protect
+            raise
         import os as _os
 
         return _os.path.isdir(path)

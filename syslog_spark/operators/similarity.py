@@ -102,18 +102,44 @@ def rh_signature_batch(
 
     @pandas_udf("long")
     def _sig(v: pd.Series) -> pd.Series:
+        import os
+
+        # the matmul below may dispatch to BLAS: workers ARE the
+        # parallelism, so pin library threads to 1. build_session pins
+        # these for local mode; this setdefault covers executors whose
+        # env was not prepared (cluster deploys) for backends that read
+        # the env lazily. (Backends that bound their pool at import keep
+        # whatever the executor env said — document in deploy notes.)
+        for var in (
+            "OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"
+        ):
+            os.environ.setdefault(var, "1")
         if len(v) == 0:
-            return pd.Series([], dtype="int64")
+            return pd.Series([], dtype="Int64")
         planes = _planes(dim, n_bits, seed)  # deterministic per (args)
-        m = np.stack(v.to_numpy()).astype(np.float64, copy=False)
-        bits = (m @ planes.T) > 0  # (batch, n_bits)
-        weights = np.left_shift(
-            np.uint64(1), np.arange(n_bits, dtype=np.uint64)
+        vals = v.to_numpy()
+        # null / wrong-width rows -> null signature (matching the
+        # Catalyst engine, where the dot over a null/short array yields
+        # null and the row drops out of the block join) instead of
+        # np.stack raising and killing the task (round-4 review finding)
+        ok = np.array(
+            [x is not None and len(x) == dim for x in vals], dtype=bool
         )
-        packed = (bits.astype(np.uint64) * weights).sum(
-            axis=1, dtype=np.uint64
-        )
-        return pd.Series(packed.view(np.int64))
+        out = np.zeros(len(vals), dtype=np.int64)
+        if ok.any():
+            m = np.stack(vals[ok]).astype(np.float64, copy=False)
+            bits = (m @ planes.T) > 0  # (ok_rows, n_bits)
+            weights = np.left_shift(
+                np.uint64(1), np.arange(n_bits, dtype=np.uint64)
+            )
+            out[ok] = (
+                (bits.astype(np.uint64) * weights)
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
+        res = pd.Series(out, dtype="Int64")
+        res[~ok] = pd.NA
+        return res
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return _sig(F.transform(c, lambda x: x.cast("double")))

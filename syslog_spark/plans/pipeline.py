@@ -44,13 +44,15 @@ class PipelineConfig:
 
 
 def _can_read_direct(input_path: str) -> bool:
-    import os
+    if input_path.startswith("iceberg:") or "://" in input_path:
+        return False
+    from ..sources.direct import layout_supported
 
-    return (
-        not input_path.startswith("iceberg:")
-        and "://" not in input_path
-        and os.path.isdir(input_path)
-    )
+    # only layouts the direct source FULLY understands (flat and/or one
+    # source= level) — a date=-partitioned or nested dir silently taking
+    # the fused path would drop files (round-4 review finding); it falls
+    # back to the standard reader instead
+    return layout_supported(input_path)
 
 
 def parsed_frame(

@@ -90,7 +90,15 @@ def _configured_master() -> str | None:
         return os.environ.get("MASTER") or None
     try:
         from pyspark import SparkConf
+        from pyspark.context import SparkContext
 
+        # SparkConf only reads JVM system properties once SparkContext's
+        # gateway is attached — before that it is an empty pure-Python
+        # dict and contains() is always False (round-4 review finding).
+        # With the gateway env vars present, _ensure_initialized()
+        # ATTACHES to spark-submit's existing JVM (no new JVM, no
+        # context), after which loadDefaults sees --master.
+        SparkContext._ensure_initialized()
         conf = SparkConf(loadDefaults=True)
         if conf.contains("spark.master"):
             return conf.get("spark.master")

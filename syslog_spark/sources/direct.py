@@ -35,13 +35,42 @@ from ..operators.parse import make_kernel_runner
 from ..operators.schema import parsed_spark_schema
 
 
+def layout_supported(path: str) -> bool:
+    """True iff the directory is a layout the direct source understands:
+    top-level *.parquet files and/or one level of `source=` hive
+    partitioning, and NOTHING ELSE holding parquet data (a `date=` or
+    nested layout must take the standard reader — silently reading only
+    the recognized subset would drop rows)."""
+    if not os.path.isdir(path):
+        return False
+    has_any = bool(glob.glob(os.path.join(path, "*.parquet"))) or bool(
+        glob.glob(os.path.join(path, "source=*", "*.parquet"))
+    )
+    if not has_any:
+        return False
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if os.path.isdir(full) and not entry.startswith("source="):
+            # any OTHER directory that contains parquet anywhere means
+            # an unrecognized partition layout
+            for _root, _dirs, fs in os.walk(full):
+                if any(f.endswith(".parquet") for f in fs):
+                    return False
+    return True
+
+
 def list_parquet_files(path: str) -> list[tuple[str, str | None]]:
     """(file, hive-partition source value or None) pairs. One level of
     `source=<escaped>` hive partitioning is understood (the token table's
     layout); the escaped value is URL-decoded the way Spark encodes it
-    (e.g. %2F -> '/')."""
+    (e.g. %2F -> '/'). Raises on layouts layout_supported() rejects."""
     from urllib.parse import unquote
 
+    if not layout_supported(path):
+        raise FileNotFoundError(
+            f"{path} is not a flat or source=-partitioned parquet dir "
+            "(use the standard reader for other layouts)"
+        )
     out = [
         (f, None)
         for f in sorted(glob.glob(os.path.join(path, "*.parquet")))
@@ -131,6 +160,24 @@ def parse_tokens_direct(
                                 "source",
                                 pa.array([src] * t.num_rows, pa.string()),
                             )
+                        elif source_prefixes is not None:
+                            # flat file: the partition value was unknown
+                            # at list time, so prune at ROW level here —
+                            # otherwise "pruned" output would silently
+                            # include excluded sources
+                            import pyarrow.compute as pc
+
+                            col = t.column("source")
+                            mask = None
+                            for p in source_prefixes:
+                                m = pc.or_(
+                                    pc.equal(col, p),
+                                    pc.starts_with(col, p + "/"),
+                                )
+                                mask = m if mask is None else pc.or_(mask, m)
+                            t = t.filter(pc.fill_null(mask, False))
+                            if t.num_rows == 0:
+                                continue
                         yield t.select(cols)
                 finally:
                     pf.close()

@@ -510,3 +510,26 @@ def test_star_contraction_random_graphs_vs_union_find(spark, seed):
     got = {r["node"]: r["component"]
            for r in star_contraction_components(pairs).collect()}
     assert got == want
+
+
+def test_rh_signature_pandas_null_and_bad_width_rows(spark):
+    """Null or wrong-width embeddings yield NULL signatures in the pandas
+    engine (matching Catalyst, where the dot over null/padded arrays is
+    null) instead of np.stack killing the task."""
+    from syslog_spark.operators.similarity import rh_signature
+
+    rng = np.random.RandomState(4)
+    rows = [(0, rng.normal(size=64).tolist()),
+            (1, None),
+            (2, rng.normal(size=16).tolist()),   # wrong width
+            (3, rng.normal(size=64).tolist())]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["s_pd"], r["s_cat"]) for r in emb.select(
+        "vec_id",
+        rh_signature("embedding", dim=64, engine="pandas").alias("s_pd"),
+        rh_signature("embedding", dim=64, engine="catalyst").alias("s_cat"),
+    ).collect()}
+    assert got[1] == (None, None)
+    assert got[2] == (None, None)
+    assert got[0][0] == got[0][1] is not None
+    assert got[3][0] == got[3][1] is not None

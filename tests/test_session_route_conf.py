@@ -2,6 +2,7 @@
 per-write (non-leaking) route_write hadoop configuration."""
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -114,3 +115,43 @@ def test_route_write_layering_preserves_other_sinks(spark, tmp_path):
         .select("source").distinct().collect()
     }
     assert sources == {"rfc5424/a", "rfc5424/b"}
+
+
+def test_build_session_respects_real_spark_submit_master(tmp_path):
+    """End-to-end under the actual spark-submit binary: --master local[3]
+    must survive build_session (review finding: SparkConf is an empty
+    pure-python dict until the gateway attaches, so the probe must
+    _ensure_initialized first — without that the builder silently
+    overrode the submitted master with local[32])."""
+    import shutil
+    import subprocess
+    import textwrap
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("no spark-submit binary")
+    probe = tmp_path / "probe.py"
+    probe.write_text(textwrap.dedent(f"""
+        import sys, json
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from syslog_spark.session import build_session, _configured_master
+        cm = _configured_master()
+        spark = build_session(app_name="probe")
+        print("PROBE " + json.dumps({{
+            "configured": cm,
+            "effective": spark.sparkContext.master,
+        }}))
+        spark.stop()
+    """))
+    r = subprocess.run(
+        [spark_submit, "--master", "local[3]", str(probe)],
+        capture_output=True, text=True, timeout=280,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = next(
+        ln for ln in (r.stdout + r.stderr).splitlines()
+        if ln.startswith("PROBE ")
+    )
+    got = json.loads(line[6:])
+    assert got["configured"] == "local[3]"
+    assert got["effective"] == "local[3]"
