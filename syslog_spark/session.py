@@ -37,6 +37,13 @@ def build_session(
         inherited_master = _configured_master()
         if inherited_master is None:
             master = f"local[{cpus}]"
+        elif not _has_gateway():
+            # MASTER came from the environment with no live py4j gateway:
+            # no JVM exists yet, so WE start it — the env value must be
+            # applied through the builder or it is read and discarded
+            # (round-4 ADVICE), and getOrCreate() would fail with
+            # "A master URL must be set".
+            master = inherited_master
     local_jvm = master is not None  # we are the ones starting the JVM
     if shuffle_partitions is None and local_jvm:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
@@ -74,6 +81,15 @@ def build_session(
     return spark
 
 
+def _has_gateway() -> bool:
+    """True when spark-submit's py4j gateway env is present (a JVM with
+    the submitted conf already exists for this process to attach to)."""
+    return any(
+        os.environ.get(v)
+        for v in ("PYSPARK_GATEWAY_PORT", "PYSPARK_GATEWAY_SECRET")
+    )
+
+
 def _configured_master() -> str | None:
     """Return the externally-configured spark.master, if any.
 
@@ -83,10 +99,7 @@ def _configured_master() -> str | None:
     gateway yet — probing SparkConf there would needlessly start the JVM
     before the builder does, so treat "no gateway env" as "no master".
     """
-    for var in ("PYSPARK_GATEWAY_PORT", "PYSPARK_GATEWAY_SECRET"):
-        if os.environ.get(var):
-            break
-    else:
+    if not _has_gateway():
         return os.environ.get("MASTER") or None
     try:
         from pyspark import SparkConf

@@ -22,6 +22,46 @@ def test_configured_master_standalone_is_none(monkeypatch):
     assert S._configured_master() == "spark://cluster:7077"
 
 
+def test_build_session_applies_master_env_without_gateway(tmp_path):
+    """MASTER env + no py4j gateway (plain `python script.py`): there is
+    no JVM yet, so build_session must START one with the env-configured
+    master (round-4 ADVICE: the value was read and discarded, and
+    getOrCreate() failed with 'A master URL must be set')."""
+    import subprocess
+    import sys
+    import textwrap
+
+    probe = tmp_path / "probe_master_env.py"
+    probe.write_text(textwrap.dedent(f"""
+        import sys, json
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from syslog_spark.session import build_session
+        spark = build_session(app_name="probe_env")
+        print("PROBE " + json.dumps({{
+            "effective": spark.sparkContext.master,
+            "shuffle": spark.conf.get("spark.sql.shuffle.partitions"),
+        }}))
+        spark.stop()
+    """))
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYSPARK_GATEWAY_PORT", "PYSPARK_GATEWAY_SECRET")
+    }
+    env["MASTER"] = "local[2]"
+    env["SPARK_DRIVER_MEM"] = "2g"
+    r = subprocess.run(
+        [sys.executable, str(probe)], capture_output=True, text=True,
+        timeout=280, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = next(
+        ln for ln in r.stdout.splitlines() if ln.startswith("PROBE ")
+    )
+    got = json.loads(line[6:])
+    assert got["effective"] == "local[2]"
+    assert got["shuffle"] == "2"
+
+
 def test_table_exists_local_and_remote_scheme(spark, tmp_path):
     from syslog_spark.operators.route import table_exists
 
