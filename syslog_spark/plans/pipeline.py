@@ -34,24 +34,27 @@ class PipelineConfig:
     resume: bool = False
     exact_percentiles: bool = True
     write_metrics: bool = True
-    # fused pyarrow read+parse for plain LOCAL parquet dirs: skips the
+    # fused pyarrow read+parse for plain parquet dirs (local paths and
+    # pyarrow.fs schemes: file://, s3://, s3a://, hdfs://): skips the
     # JVM row->Arrow feed conversion (the non-scaling cost identified by
     # the in-worker timer; 13% faster at 8 cores / 24% at 32, bitwise
     # identical output — tools/bench_direct_ab.py). "auto" uses it only
-    # when the input is a local parquet directory; Iceberg tables and
-    # remote paths always take the catalog/scan reader.
+    # when the layout is listable and fully understood; Iceberg tables
+    # and unreachable stores always take the catalog/scan reader.
     direct_parquet: str = "auto"  # "auto" | "never" | "always"
 
 
 def _can_read_direct(input_path: str) -> bool:
-    if input_path.startswith("iceberg:") or "://" in input_path:
+    if input_path.startswith("iceberg:"):
         return False
     from ..sources.direct import layout_supported
 
     # only layouts the direct source FULLY understands (flat and/or one
     # source= level) — a date=-partitioned or nested dir silently taking
-    # the fused path would drop files (round-4 review finding); it falls
-    # back to the standard reader instead
+    # the fused path would drop files (round-4 review finding). Remote
+    # schemes (file://, s3a://, hdfs://) resolve through pyarrow.fs since
+    # round 5; an unreachable/unlistable store returns False here and the
+    # standard reader takes over.
     return layout_supported(input_path)
 
 

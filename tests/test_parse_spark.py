@@ -186,16 +186,14 @@ def test_direct_source_partition_pruning(spark, tmp_path):
 
     pruned_files = [
         src for _, src in list_parquet_files(path)
-        if src is not None and (src == "rfc5424" or src.startswith("rfc5424/"))
+        if src is not None and src.startswith("rfc5424")
     ]
     assert pruned_files  # layout sanity
 
+    # LIKE-prefix semantics (round-5: startswith, documented contract)
     std = (
         parse_tokens(spark.read.parquet(path))
-        .filter(
-            (F.col("source") == "rfc5424")
-            | F.col("source").startswith("rfc5424/")
-        )
+        .filter(F.col("source").startswith("rfc5424"))
     )
     direct = parse_tokens_direct(spark, path, source_prefixes=["rfc5424"])
     n_std, n_direct = std.count(), direct.count()
