@@ -90,12 +90,16 @@ def _coeffs(n_hashes: int, seed: int = 42):
     return a, b
 
 
-def minhash_signature(col: Column | str, n_hashes: int = 64, k: int = 5,
-                      seed: int = 42) -> Column:
-    """array<bigint> of n_hashes min-permutation values (pure Catalyst).
-
-    sig_i = min over shingles s of (a_i * h(s) + b_i) mod M31."""
-    hashes = shingle_hashes(col, k)
+def _signature_from_hashes(hashes: Column, n_hashes: int = 64,
+                           seed: int = 42) -> Column:
+    """The 64 min-permutation folds over an ALREADY-MATERIALIZED hash
+    array column. Callers that fan the signature out over a corpus scan
+    should project :func:`shingle_hashes` into its own column first and
+    pass that here — the n_hashes array_min(transform(...)) expressions
+    all reference the hash subtree, HOFs are CodegenFallback, and
+    interpreted-mode Catalyst does not CSE the repeated subtree (the
+    repo's round-1 serializer lesson; measured again for minhash in
+    tools/bench_minhash_ab.py)."""
     a, b = _coeffs(n_hashes, seed)
 
     def perm(ai: int, bi: int):
@@ -107,6 +111,19 @@ def minhash_signature(col: Column | str, n_hashes: int = 64, k: int = 5,
         for i in range(n_hashes)
     ]
     return F.array(*sigs)
+
+
+def minhash_signature(col: Column | str, n_hashes: int = 64, k: int = 5,
+                      seed: int = 42) -> Column:
+    """array<bigint> of n_hashes min-permutation values (pure Catalyst).
+
+    sig_i = min over shingles s of (a_i * h(s) + b_i) mod M31.
+
+    NOTE: as a single inline expression this repeats the shingle-hash
+    subtree n_hashes times; fine for one-off use, but scan-heavy callers
+    (see :func:`_minhash_banded`) hoist the hashes into a projection and
+    use :func:`_signature_from_hashes`."""
+    return _signature_from_hashes(shingle_hashes(col, k), n_hashes, seed)
 
 
 def minhash_lsh_candidates(
@@ -151,9 +168,17 @@ def _minhash_banded(df, text_col, id_col, n_hashes, bands, k, seed):
     """(id, band, bucket) exploded banding rows (shared by candidates +
     stats)."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(text_col, n_hashes, k, seed)
+    # hoist the shingle hashes through their own projection so the 64
+    # array_min folds share ONE materialized array instead of
+    # re-evaluating the shingle->hash subtree per fold (HOFs are
+    # CodegenFallback; CollapseProject keeps the boundary because the
+    # subtree is non-cheap and multiply referenced) — measured 16x on
+    # the sf0.1 corpus scan (120.7s -> 7.9s), tools/bench_minhash_ab.py
+    sig = _signature_from_hashes(F.col("_sh"), n_hashes, seed)
     return df.select(
-        F.col(id_col).alias("id"), sig.alias("sig")
+        F.col(id_col).alias("id"), shingle_hashes(text_col, k).alias("_sh")
+    ).select(
+        F.col("id"), sig.alias("sig")
     ).select(
         "id",
         F.explode(
