@@ -207,6 +207,33 @@ def table_exists(spark, path: str) -> bool:
         return _os.path.isdir(path)
 
 
+def _clear_stale_temporary(spark, table_path: str) -> bool:
+    """Delete a leftover ``_temporary`` dir under a table path.
+
+    A crashed append/resume attempt leaves its committed task dirs under
+    ``<table>/_temporary/0``; FileOutputCommitter v1's job commit merges
+    EVERY task dir found there, so the next resume run would silently
+    absorb the crashed attempt's rows on top of its own — double-writing
+    those sinks (executed, not theorized: test_chaos_resume.py reproduces
+    it). The resume protocol is single-writer per out_dir (the manifest
+    anti-join already requires that), so any pre-existing _temporary is
+    garbage by definition. Resolved through the Hadoop FS of the path's
+    own scheme, like :func:`table_exists`."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_temporary")
+        fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+            return True
+    except Exception:
+        if "://" in table_path:
+            # same fail-closed stance as table_exists: on a remote store
+            # a silent skip would reintroduce the double-write
+            raise
+    return False
+
+
 def route_write(
     parsed: DataFrame,
     out_dir: str,
@@ -269,6 +296,7 @@ def route_write(
 
     skipped = 0
     if resume:
+        _clear_stale_temporary(spark, f"{out_dir}/{ROUTED}")
         done = completed_sinks(spark, out_dir)
         if done is not None:
             keys = done.select("sink_severity", "source")

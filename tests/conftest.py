@@ -8,6 +8,12 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running (chaos / multi-JVM) tests"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from syslog_spark.session import build_session
