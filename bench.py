@@ -296,7 +296,7 @@ def run_headline(sf_dir: str) -> dict:
 
 
 def write_baseline_md(p8, p32, eff, effs, parse_eff, kernel, times,
-                      same_era=None):
+                      same_era=None, ceiling_line=""):
     os.makedirs("BENCH", exist_ok=True)
     qlines = "\n".join(f"| {k} | {v:.2f} |" for k, v in times.items())
     kern_line = "(kernel bench unavailable)"
@@ -356,7 +356,7 @@ halving the shipped token width (array<smallint>) — no win (median
 ratio 1.08 at 32 cores), the JVM-side cast costs what the IPC saves.
 
 **Scaling efficiency (rate32/rate8)/4: median {eff:.3f} over paired
-rounds {effs}; parse stage alone {parse_eff:.3f}.**
+rounds {effs}; parse stage alone {parse_eff:.3f}.**{ceiling_line}
 
 ### Same-era parse-vs-kernel comparison (round 4)
 
@@ -441,19 +441,36 @@ def main():
     # does in its own era — no Spark-side scaling loss
     kernel_effs = []
     parse_vs_kernel = []
-    for a, b in zip(runs[8], runs[32]):
+    eff_vs_ceiling_rounds = []
+    for i, (a, b) in enumerate(zip(runs[8], runs[32])):
         k8, k32 = a.get("kernel_rate_same_era"), b.get("kernel_rate_same_era")
         if k8 and k32:
             ke = (k32 / k8) / 4.0
             kernel_effs.append(round(ke, 3))
             pe = (a["parse_only_seconds"] / b["parse_only_seconds"]) / 4.0
             parse_vs_kernel.append(round(pe / ke, 3))
+            # era-health normalization: this round's END-TO-END pipeline
+            # efficiency divided by the SAME round's bare-kernel ceiling
+            # — the number a verdict can compare across rounds without
+            # reading the era-noise notes (1.0 = the whole pipeline
+            # scales as well as this machine can scale anything)
+            eff_vs_ceiling_rounds.append(round(effs[i] / ke, 3))
     kernel_eff_same_era = (
         statistics.median(kernel_effs) if kernel_effs else None
     )
     parse_vs_kernel_ratio = (
         statistics.median(parse_vs_kernel) if parse_vs_kernel else None
     )
+    eff_vs_ceiling = (
+        statistics.median(eff_vs_ceiling_rounds)
+        if eff_vs_ceiling_rounds else None
+    )
+    if eff_vs_ceiling is not None:
+        log(
+            f"headline: raw efficiency {eff:.3f}; same-era kernel ceiling "
+            f"{kernel_eff_same_era:.3f}; efficiency/ceiling "
+            f"{eff_vs_ceiling:.3f} over rounds {eff_vs_ceiling_rounds}"
+        )
 
     kernel = run_kernel_bench()
 
@@ -475,8 +492,19 @@ def main():
             "means Spark adds no measurable scaling loss on top of the "
             "machine)."
         )
+    ceiling_line = ""
+    if eff_vs_ceiling is not None:
+        ceiling_line = (
+            f"\n**Era-health headline: efficiency / same-era kernel "
+            f"ceiling = {eff_vs_ceiling:.3f}** (median over per-round "
+            f"pairs {eff_vs_ceiling_rounds}; each round's end-to-end "
+            "efficiency divided by the bare-kernel ceiling probed inside "
+            "the same pinned children seconds apart — the cross-round "
+            "comparable number; 1.0 means the pipeline scales as well as "
+            "this machine can scale anything)."
+        )
     write_baseline_md(p8, p32, eff, effs, parse_eff, kernel, times,
-                      same_era)
+                      same_era, ceiling_line)
 
     out = {
         "metric": "headline_suite_seconds",
@@ -494,6 +522,8 @@ def main():
             kernel or {}).get("efficiency_8_to_32"),
         "kernel_same_era_efficiency_8_to_32": kernel_eff_same_era,
         "kernel_same_era_efficiency_rounds": kernel_effs,
+        "efficiency_vs_same_era_ceiling": eff_vs_ceiling,
+        "efficiency_vs_same_era_ceiling_rounds": eff_vs_ceiling_rounds,
         "parse_vs_kernel_same_era_ratio": parse_vs_kernel_ratio,
         "parse_vs_kernel_same_era_rounds": parse_vs_kernel,
         "kernel_rate_same_era": {
