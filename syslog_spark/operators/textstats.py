@@ -50,36 +50,69 @@ def punct_ratio(col) -> Column:
     return total / F.greatest(F.length(c), F.lit(1))
 
 
-def stopword_count(col, stopwords=STOPWORDS_EN) -> Column:
-    words = F.split(F.lower(F.trim(_c(col))), r"\s+")
+def _words(col) -> Column:
+    """Whitespace tokenization of the trimmed text (the shared subtree)."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def _words_lower(col) -> Column:
+    return F.split(F.lower(F.trim(_c(col))), r"\s+")
+
+
+def _stopword_count_w(words: Column, stopwords=STOPWORDS_EN) -> Column:
     return F.size(F.filter(words, lambda w: w.isin(*stopwords)))
 
 
-def stopword_ratio(col, stopwords=STOPWORDS_EN) -> Column:
-    return stopword_count(col, stopwords) / F.greatest(
-        whitespace_token_count(col), F.lit(1)
+def stopword_count(col, stopwords=STOPWORDS_EN) -> Column:
+    return _stopword_count_w(_words_lower(col), stopwords)
+
+
+def _ws_token_count_w(col, words: Column) -> Column:
+    return F.when(F.trim(_c(col)) == "", 0).otherwise(F.size(words))
+
+
+def _stopword_ratio_w(col, words: Column, words_lower: Column,
+                      stopwords=STOPWORDS_EN) -> Column:
+    return _stopword_count_w(words_lower, stopwords) / F.greatest(
+        _ws_token_count_w(col, words), F.lit(1)
     )
 
 
-def mean_word_length(col) -> Column:
-    t = F.trim(_c(col))
-    words = F.split(t, r"\s+")
+def stopword_ratio(col, stopwords=STOPWORDS_EN) -> Column:
+    return _stopword_ratio_w(col, _words(col), _words_lower(col), stopwords)
+
+
+def _mean_word_length_w(words: Column) -> Column:
     total = F.aggregate(
         words, F.lit(0), lambda acc, w: acc + F.length(w)
     )
     return total / F.greatest(F.size(words), F.lit(1))
 
 
-def quality_score(col) -> Column:
-    """Composite [0,1] quality heuristic: long enough, some stopwords,
-    sane punctuation, sane word lengths. Deterministic, monotone pieces."""
+def mean_word_length(col) -> Column:
+    return _mean_word_length_w(_words(col))
+
+
+def _quality_score_w(col, words: Column, words_lower: Column) -> Column:
     c = _c(col)
     len_ok = F.least(F.length(c) / F.lit(200.0), F.lit(1.0))
-    stop_ok = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    stop_ok = F.least(
+        _stopword_ratio_w(c, words, words_lower) * 5.0, F.lit(1.0)
+    )
     punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 4.0, F.lit(1.0))
-    wl = mean_word_length(c)
+    wl = _mean_word_length_w(words)
     wl_ok = F.when((wl >= 3) & (wl <= 10), 1.0).otherwise(0.3)
     return (len_ok + stop_ok + punct_ok + wl_ok) / 4.0
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality heuristic: long enough, some stopwords,
+    sane punctuation, sane word lengths. Deterministic, monotone pieces.
+
+    As a single inline expression this re-splits the text per consumer
+    (the HOFs are CodegenFallback, no CSE); scan-heavy callers use
+    :func:`document_stats`, which hoists the tokenizations."""
+    return _quality_score_w(col, _words(col), _words_lower(col))
 
 
 # --- language identification ---------------------------------------------------
@@ -92,14 +125,9 @@ _LANG_MARKERS = {
 }
 
 
-def lang_id(col) -> Column:
-    """Marker-word heuristic language ID ('und' when nothing matches).
-
-    The real-world version would use fasttext/cld3 via a pandas UDF; the
-    marker heuristic keeps it engine-mirrorable and dependency-free."""
-    words = F.split(F.lower(F.trim(_c(col))), r"\s+")
+def _lang_id_w(words_lower: Column) -> Column:
     scores = {
-        lang: F.size(F.filter(words, lambda w: w.isin(*marks)))
+        lang: F.size(F.filter(words_lower, lambda w: w.isin(*marks)))
         for lang, marks in _LANG_MARKERS.items()
     }
     best = F.greatest(*scores.values())
@@ -108,6 +136,14 @@ def lang_id(col) -> Column:
     for lang in reversed(list(scores)):
         out = F.when((best > 0) & (scores[lang] == best), lang).otherwise(out)
     return out
+
+
+def lang_id(col) -> Column:
+    """Marker-word heuristic language ID ('und' when nothing matches).
+
+    The real-world version would use fasttext/cld3 via a pandas UDF; the
+    marker heuristic keeps it engine-mirrorable and dependency-free."""
+    return _lang_id_w(_words_lower(col))
 
 
 # --- fingerprinting -------------------------------------------------------------
@@ -182,16 +218,30 @@ def rolling_hash_udf():
 
 
 def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass projection of all text statistics."""
+    """One-pass projection of all text statistics.
+
+    The two whitespace tokenizations (cased for word lengths, lowered
+    for stopwords/lang markers) are hoisted into their own projection:
+    the consuming HOFs are CodegenFallback and interpreted Catalyst does
+    not CSE the repeated split subtrees, so the inline form re-split the
+    text up to 5x per row (same defect class as the round-5 minhash fix;
+    measured 1.15x on the sf0.1 corpus scan, checksum-identical)."""
     c = F.col(text_col)
-    return df.select(
+    pre = df.select(
+        "doc_id",
+        c,
+        _words(c).alias("_w"),
+        _words_lower(c).alias("_wl"),
+    )
+    w, wl = F.col("_w"), F.col("_wl")
+    return pre.select(
         "doc_id",
         F.length(c).alias("n_chars_computed"),
-        whitespace_token_count(c).alias("n_tokens_ws"),
+        _ws_token_count_w(c, w).alias("n_tokens_ws"),
         bpe_ish_token_count(c).alias("n_tokens_bpe"),
         punct_ratio(c).alias("punct_ratio"),
-        stopword_ratio(c).alias("stopword_ratio"),
-        quality_score(c).alias("quality"),
-        lang_id(c).alias("lang_pred"),
+        _stopword_ratio_w(c, w, wl).alias("stopword_ratio"),
+        _quality_score_w(c, w, wl).alias("quality"),
+        _lang_id_w(wl).alias("lang_pred"),
         fingerprint_md5(c).alias("fingerprint"),
     )
