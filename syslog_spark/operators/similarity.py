@@ -87,7 +87,8 @@ _CATALYST_SIG_MAX_LITERALS = 8192
 
 
 def rh_signature_batch(
-    vec_col, dim: int, n_bits: int = 64, seed: int = 42
+    vec_col, dim: int, n_bits: int = 64, seed: int = 42,
+    cast: bool = True,
 ) -> Column:
     """Random-hyperplane signature via ONE vectorized pandas UDF: batch
     matmul against the (n_bits x dim) plane matrix + bit-pack. Planes are
@@ -142,7 +143,7 @@ def rh_signature_batch(
         return res
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return _sig(F.transform(c, lambda x: x.cast("double")))
+    return _sig(F.transform(c, lambda x: x.cast("double")) if cast else c)
 
 
 def rh_signature(
@@ -151,6 +152,7 @@ def rh_signature(
     n_bits: int = 64,
     seed: int = 42,
     engine: str = "auto",
+    cast: bool = True,
 ) -> Column:
     """Random-hyperplane signature as a bigint.
 
@@ -159,7 +161,13 @@ def rh_signature(
     the plan. engine="pandas": rh_signature_batch (one Arrow matmul).
     "auto" picks catalyst below _CATALYST_SIG_MAX_LITERALS and pandas
     above, so small dims keep the pure-JVM plan and real embedding widths
-    never hit the codegen cliff."""
+    never hit the codegen cliff.
+
+    ``cast=False`` skips the to-double transform; scan-heavy callers
+    hoist ``_vec`` into its own projection and pass that column — the
+    inline transform would otherwise be re-evaluated inside every one of
+    the n_bits fold expressions (HOFs are CodegenFallback, no CSE; the
+    round-5 minhash lesson)."""
     if engine == "auto":
         engine = (
             "catalyst"
@@ -167,8 +175,11 @@ def rh_signature(
             else "pandas"
         )
     if engine == "pandas":
-        return rh_signature_batch(vec_col, dim, n_bits, seed)
-    v = _vec(vec_col)
+        return rh_signature_batch(vec_col, dim, n_bits, seed, cast=cast)
+    v = (
+        _vec(vec_col) if cast
+        else (F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+    )
     planes = _planes(dim, n_bits, seed)
     bit_cols = []
     for i in range(n_bits):
@@ -218,10 +229,12 @@ def embedding_near_dups(
         )
     width = n_bits // n_blocks
     mask = (1 << width) - 1
-    sig = rh_signature(vec_col, dim, n_bits, seed)
-    base = df.select(
-        F.col(id_col).alias("id"), _vec(vec_col).alias("v"), sig.alias("sig")
-    )
+    # hoist the to-double cast: the signature's 64 dot folds and the
+    # verify stage all reference ONE materialized "v" instead of
+    # re-running the cast transform per fold (CodegenFallback, no CSE)
+    pre = df.select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
+    sig = rh_signature("v", dim, n_bits, seed, cast=False)
+    base = pre.select("id", "v", sig.alias("sig"))
     blocked = base.select(
         "id", "v",
         F.explode(
@@ -370,8 +383,11 @@ def lsh_topk(
     mask = (1 << width) - 1
 
     def blocked(df, idc, name):
-        sig = rh_signature(vec_col, dim, n_bits, seed).alias("sig")
-        base = df.select(F.col(idc).alias(name), _vec(vec_col).alias(f"v_{name}"), sig)
+        pre = df.select(
+            F.col(idc).alias(name), _vec(vec_col).alias(f"v_{name}")
+        )
+        sig = rh_signature(f"v_{name}", dim, n_bits, seed, cast=False)
+        base = pre.select(name, f"v_{name}", sig.alias("sig"))
         return base.select(
             name, f"v_{name}",
             F.explode(
