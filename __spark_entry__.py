@@ -1243,6 +1243,82 @@ def q_streaming_host_totals(spark, sf_dir):
     )
 
 
+_STREAM_DOCS_VERSION = "v1"
+
+
+def stream_docs_corpus(spark, sf_dir) -> str:
+    """Planted-dup documents corpus for the streaming dedup gate, written
+    as several parquet files so maxFilesPerTrigger yields real
+    micro-batches. Same plant as dedup_exact: every doc_id<30 gains a
+    byte-identical 'dup-<id>' copy, so digests genuinely span
+    micro-batch boundaries (the copies land in different files via the
+    repartition shuffle)."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + _STREAM_DOCS_VERSION).encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/syslog_spark_streamdocs_{key}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base = _t(spark, sf_dir, "documents")
+        docs = base.select(
+            F.explode(
+                F.when(
+                    F.col("doc_id") < 30,
+                    F.array(
+                        F.col("doc_id").cast("string"),
+                        F.concat(F.lit("dup-"), F.col("doc_id").cast("string")),
+                    ),
+                ).otherwise(F.array(F.col("doc_id").cast("string")))
+            ).alias("doc_id"),
+            "text",
+        )
+        docs.repartition(8, "doc_id").write.mode("overwrite").parquet(path)
+    return path
+
+
+def q_streaming_dedup_exact(spark, sf_dir):
+    """Stateful STREAMING exact-dedup through the hash gate: per-digest
+    (min id, copies) state via applyInPandasWithState, drained with
+    availableNow over maxFilesPerTrigger=2 so the planted duplicate
+    groups span micro-batches and the fold genuinely merges state. The
+    gate takes each digest's final state from the update stream
+    (min keep / max count — both monotone) and must equal the batch
+    GROUP BY md5(text) oracle exactly, independent of file batching."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from syslog_spark.streaming.stream_pipeline import streaming_dedup_exact
+
+    _ensure_shipped(spark)
+    path = stream_docs_corpus(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    name = f"sde_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    q = (
+        streaming_dedup_exact(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("digest").agg(
+        F.min("keep_doc_id").alias("keep_doc_id"),
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
 # --- oracle SQL ----------------------------------------------------------------
 
 
@@ -1643,6 +1719,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS running_total,
                    count(*) AS rows
             FROM events GROUP BY 1""",
+        "streaming_dedup_exact": """
+            WITH corpus AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT 'dup-' || doc_id AS doc_id, text
+              FROM documents WHERE doc_id < 30
+            )
+            SELECT md5(text) AS digest, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_docs
+            FROM corpus GROUP BY 1""",
         "pipeline_smoke": f"""
             SELECT (event_id % 192) % 8 AS severity,
                    {_case_sql("((event_id % 192) % 8)", C.SEVERITY_NAMES)}
@@ -1755,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_counts": q_streaming_window_counts,
         "streaming_route_counts": q_streaming_route_counts,
         "streaming_host_totals": q_streaming_host_totals,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
     }
 
 

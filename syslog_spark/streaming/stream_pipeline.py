@@ -106,6 +106,67 @@ def host_running_totals(parsed: DataFrame) -> DataFrame:
     )
 
 
+_DEDUP_STATE_SCHEMA = T.StructType([
+    T.StructField("keep_id", T.StringType()),
+    T.StructField("n_seen", T.LongType()),
+])
+_DEDUP_OUT_SCHEMA = T.StructType([
+    T.StructField("digest", T.StringType()),
+    T.StructField("keep_doc_id", T.StringType()),
+    T.StructField("n_docs", T.LongType()),
+])
+
+
+def streaming_dedup_exact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stateful streaming exact-dedup — the streaming twin of
+    operators/dedup.exact_duplicate_groups: per content digest, state
+    carries (min doc id, copies seen) across micro-batches via
+    applyInPandasWithState and each update emits the digest's current
+    survivor + count. The fold is (min, sum) — order- and
+    batching-insensitive — so the FINAL update row per digest is
+    deterministic however the stream was chopped, which is what makes
+    the operator oracle-checkable (GROUP BY md5(text)). Ids are compared
+    as strings (matching the batch gate's VARCHAR min).
+
+    At scale: state is one (string, long) pair per DISTINCT digest,
+    hash-partitioned across executors; each micro-batch shuffles only
+    its own rows. Point the session at the RocksDB state store provider
+    when the digest set exceeds executor memory."""
+    import pandas as pd
+
+    keyed = docs.select(
+        F.md5(F.col(text_col)).alias("digest"),
+        F.col(id_col).cast("string").alias("id"),
+    )
+
+    def fn(key, pdf_iter, state):
+        mn = None
+        n = 0
+        for pdf in pdf_iter:
+            if len(pdf):
+                n += len(pdf)
+                m = pdf["id"].min()
+                mn = m if mn is None else min(mn, m)
+        if state.exists:
+            k, seen = state.get
+            mn = k if mn is None else min(mn, k)
+            n += seen
+        state.update((mn, n))
+        yield pd.DataFrame(
+            {"digest": [key[0]], "keep_doc_id": [mn], "n_docs": [n]}
+        )
+
+    return keyed.groupBy("digest").applyInPandasWithState(
+        fn,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_stream_once(
     spark: SparkSession,
     input_dir: str,

@@ -255,3 +255,64 @@ def test_numpy_decoder_end_to_end(spark):
     ).collect()
     assert {(r["doc_id"], tuple(r["feature"] or [])) for r in out} == \
            {(r["doc_id"], tuple(r["feature"] or [])) for r in out2}
+
+
+def test_streaming_dedup_exact_state_across_batches(spark, tmp_path):
+    """Duplicate digests planted in SEPARATE files (one file per
+    micro-batch via maxFilesPerTrigger=1) must merge through the
+    per-digest state: final n_docs counts across all batches and
+    keep_doc_id is the global string-min id."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from syslog_spark.streaming.stream_pipeline import streaming_dedup_exact
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    # file i holds doc (f"{i}-a", "shared") + a unique doc; "shared"
+    # appears once per file -> its state must fold across 4 batches
+    for i in range(4):
+        pq.write_table(
+            pa.table({
+                "doc_id": [f"{i}-a", f"{i}-b"],
+                "text": ["shared text body", f"unique {i}"],
+            }),
+            str(d / f"f{i}.parquet"),
+        )
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    name = f"sdx_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_dedup_exact(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(name)
+    # >1 update rows for the shared digest proves multiple micro-batches
+    shared_updates = rows.filter(F.col("keep_doc_id") == "0-a").count()
+    assert shared_updates >= 2
+    final = {
+        r["keep_doc_id"]: r["n_docs"]
+        for r in rows.groupBy("digest").agg(
+            F.min("keep_doc_id").alias("keep_doc_id"),
+            F.max("n_docs").alias("n_docs"),
+        ).collect()
+    }
+    assert final["0-a"] == 4  # all four "shared text body" copies
+    assert all(v == 1 for k, v in final.items() if k != "0-a")
+    assert len(final) == 5
