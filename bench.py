@@ -366,7 +366,11 @@ Stable (non-regenerated) round-4 investigation notes:
 BENCH/SCALING_NOTES_r4.md — four same-day runs + the in-worker kernel
 timer attribute round 3's parse "gap" to cross-era comparison plus the
 single-JVM feed cost, and record the fused direct-parquet source
-(13%/24% faster at 8/32 cores) that removed it.
+(13%/24% faster at 8/32 cores) that removed it. Round-5 notes:
+BENCH/SCALING_NOTES_r5.md — the CodegenFallback-no-CSE sweep (16x
+minhash, 1.15x document_stats, 1.2x rh_signature), the pyarrow.fs
+direct-source rework (win preserved at 0.873), and the
+local-cluster[2,2,1024] end-to-end proof.
 
 ### The machine's own ceiling for this workload
 
