@@ -159,3 +159,47 @@ def test_star_contraction_no_cross_join(spark):
     plan = plan_of(comps)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_minhash_shingle_hoist_survives_optimizer(spark):
+    """The round-5 16x fix: shingle hashing must appear ONCE in the
+    optimized banding plan — if CollapseProject ever starts re-inlining
+    the hoisted hash array into the 64 min folds, array_distinct (the
+    shingle subtree's marker) shows up 64x and this trips."""
+    from syslog_spark.operators.dedup import _minhash_banded
+
+    docs = spark.createDataFrame(
+        [(1, "hello world the end")], "doc_id long, text string"
+    )
+    plan = _optimized(_minhash_banded(docs, "text", "doc_id", 64, 16, 5, 42))
+    assert plan.count("array_distinct") == 1
+
+
+def test_document_stats_split_hoist_survives_optimizer(spark):
+    """The hoisted tokenizations: exactly 3 split() nodes survive
+    optimization (cased words, lowered words, bpe-ish split) — the
+    inline form carried ~8."""
+    from syslog_spark.operators.textstats import document_stats
+
+    docs = spark.createDataFrame(
+        [(1, "hello world the end")], "doc_id long, text string"
+    )
+    plan = _optimized(document_stats(docs))
+    assert plan.count("split(") == 3
+
+
+def test_rh_signature_cast_hoist_survives_optimizer(spark):
+    """embedding_near_dups: the to-double cast transform must not be
+    re-inlined into the 64 dot folds (2 transform nodes total: the
+    hoisted _vec per join side of the self-join's shared child)."""
+    from syslog_spark.operators.similarity import embedding_near_dups
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 8)], "vec_id long, embedding array<float>"
+    )
+    plan = _optimized(embedding_near_dups(emb, dim=8))
+    assert plan.count("transform(") <= 2
