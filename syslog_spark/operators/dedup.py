@@ -401,10 +401,13 @@ class _IterCheckpointer:
     alternation — two cuts — back, so two is not enough to keep every
     live frame's files on disk."""
 
-    def __init__(self, spark, checkpoint_dir: str | None, every: int = 5):
+    def __init__(self, spark, checkpoint_dir: str | None, every: int = 5,
+                 tag: str = ""):
         self.spark = spark
         self.dir = checkpoint_dir
         self.every = max(1, every)
+        self.tag = tag  # namespaces spills when two algorithms share a
+        # dir (label propagation falling back to star contraction)
         self.calls = 0
         self.spills: list[str] = []
 
@@ -412,7 +415,7 @@ class _IterCheckpointer:
         self.calls += 1
         if self.dir is None or self.calls % self.every:
             return df.localCheckpoint(eager=False)
-        path = f"{self.dir.rstrip('/')}/iter_{self.calls:04d}"
+        path = f"{self.dir.rstrip('/')}/{self.tag}iter_{self.calls:04d}"
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
         self.spills.append(path)
@@ -471,7 +474,8 @@ def star_contraction_components(
     collision therefore degrades to one extra alternation instead of a
     silently wrong component map."""
     spark = pairs.sparkSession
-    ckpt = _IterCheckpointer(spark, checkpoint_dir, checkpoint_every)
+    ckpt = _IterCheckpointer(spark, checkpoint_dir, checkpoint_every,
+                             tag="star_")
     edges = (
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -580,7 +584,7 @@ def connected_components(
             checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
         )
     ckpt = _IterCheckpointer(
-        pairs.sparkSession, checkpoint_dir, checkpoint_every
+        pairs.sparkSession, checkpoint_dir, checkpoint_every, tag="label_"
     )
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))

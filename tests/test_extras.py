@@ -468,11 +468,11 @@ def test_connected_components_parquet_spill_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert got == {(i, 0) for i in range(10)}
-    spills = sorted(d for d in os.listdir(ck) if d.startswith("iter_"))
+    spills = sorted(d for d in os.listdir(ck) if d.startswith("label_iter_"))
     assert 1 <= len(spills) <= 3  # older spills deleted best-effort
     # the chain needs ~9 propagation rounds -> at every=2 the highest
     # surviving spill index proves >=3 spill cuts actually happened
-    assert int(spills[-1].split("_")[1]) >= 6
+    assert int(spills[-1].rsplit("_", 1)[1]) >= 6
 
 
 def test_star_contraction_parquet_spill_checkpoint(spark, tmp_path):
@@ -492,7 +492,7 @@ def test_star_contraction_parquet_spill_checkpoint(spark, tmp_path):
     ).collect()
     assert len(comps) == n
     assert {r["component"] for r in comps} == {0}
-    assert any(d.startswith("iter_") for d in os.listdir(ck))
+    assert any(d.startswith("star_iter_") for d in os.listdir(ck))
 
 
 def _simhash_fold_reference(hashes):
