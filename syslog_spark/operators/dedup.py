@@ -653,13 +653,16 @@ def dedupe_by_components(
     id_col: str = "doc_id",
     a_col: str = "a",
     b_col: str = "b",
+    **cc_kwargs,
 ) -> DataFrame:
     """Keep ONE representative (min id) per near-dup component, plus all
     docs that appear in no pair — the standard last stage of a corpus
     dedup pipeline (pairs from minhash/simhash/embedding candidates).
     One broadcast-sized join when the pair list is small relative to the
-    corpus; a plain shuffled left_anti otherwise (Spark picks via AQE)."""
-    comps = connected_components(pairs, a_col, b_col)
+    corpus; a plain shuffled left_anti otherwise (Spark picks via AQE).
+    Extra kwargs (algorithm=, checkpoint_dir=, checkpoint_every=,
+    max_iters=) pass through to :func:`connected_components`."""
+    comps = connected_components(pairs, a_col, b_col, **cc_kwargs)
     drop = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

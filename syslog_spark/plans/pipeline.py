@@ -42,6 +42,11 @@ class PipelineConfig:
     # when the layout is listable and fully understood; Iceberg tables
     # and unreachable stores always take the catalog/scan reader.
     direct_parquet: str = "auto"  # "auto" | "never" | "always"
+    # LIKE-'p%' prefixes over the source partition value: the direct
+    # path prunes at the FILE LIST (partitions never opened), the
+    # standard path pushes a startswith filter into the scan (Catalyst
+    # partition pruning on the hive layout). None = all sources.
+    source_prefixes: list[str] | None = None
 
 
 def _can_read_direct(input_path: str) -> bool:
@@ -69,10 +74,21 @@ def parsed_frame(
         from ..sources.direct import parse_tokens_direct
 
         parsed = parse_tokens_direct(
-            spark, input_path, cfg.reference_year, cfg.reference_tz_offset
+            spark, input_path, cfg.reference_year, cfg.reference_tz_offset,
+            source_prefixes=cfg.source_prefixes,
         )
     else:
+        from pyspark.sql import functions as F
+
         tokens = read_tokens(spark, input_path)
+        if cfg.source_prefixes is not None:
+            pred = None
+            for p in cfg.source_prefixes:
+                m = F.col("source").startswith(p)
+                pred = m if pred is None else (pred | m)
+            # on a hive source= layout Catalyst turns this into
+            # partition pruning; on flat files it's a pushed filter
+            tokens = tokens.filter(pred)
         parsed = parse_tokens(
             tokens, cfg.reference_year, cfg.reference_tz_offset
         )

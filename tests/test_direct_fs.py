@@ -164,3 +164,35 @@ def test_direct_source_pipeline_auto_takes_file_uri(spark, tmp_path):
     ).parquet(path)
     df = parsed_frame(spark, f"file://{path}", PipelineConfig())
     assert df.count() == 500
+
+
+def test_pipeline_source_prefixes_both_paths(spark, tmp_path):
+    """PipelineConfig.source_prefixes prunes equivalently through both
+    feed paths: file-list pruning on the direct source, a pushed
+    startswith filter (partition pruning on hive layouts) on the
+    standard reader."""
+    from pyspark.sql import functions as F
+
+    from syslog_spark.plans.pipeline import PipelineConfig, parsed_frame
+
+    path = str(tmp_path / "tok")
+    df = (
+        _mini_tokens(spark, "rfc5424", 200)
+        .unionAll(_mini_tokens(spark, "rfc5424x", 80, start=1000))
+        .unionAll(_mini_tokens(spark, "nginx/access", 120, start=2000))
+    )
+    df.write.mode("overwrite").partitionBy("source").parquet(path)
+
+    def snap(cfg):
+        out = parsed_frame(spark, path, cfg)
+        return out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("doc_id", "source")).alias("cs"),
+        ).first()
+
+    a = snap(PipelineConfig(direct_parquet="always",
+                            source_prefixes=["rfc5424"]))
+    b = snap(PipelineConfig(direct_parquet="never",
+                            source_prefixes=["rfc5424"]))
+    assert a["n"] == b["n"] == 280  # rfc5424 + rfc5424x, not nginx
+    assert a["cs"] == b["cs"]
