@@ -63,6 +63,16 @@ HEADLINE = [
     "pipeline_smoke",
 ]
 
+# timed separately, NOT in the headline sum (keeps `value` comparable
+# across rounds): the dedup/ANN corpus paths
+SECONDARY = [
+    "minhash_neardup",
+    "dedup_pipeline",
+    "simhash_pairs",
+    "ann_lsh",
+    "quality",
+]
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -291,8 +301,27 @@ def run_headline(sf_dir: str) -> dict:
             log(f"  {name} FAILED: {str(e)[:200]}")
             times[name] = -1.0
         log(f"  {name:24s} {times[name]:7.2f}s")
+    # secondary timings: the dedup/ANN corpus operators. Kept OUT of the
+    # headline sum so `value` stays comparable across rounds; recorded
+    # so per-round regressions on these paths are visible (round 5 cut
+    # the minhash scan 16x — without this section that would have been
+    # invisible to the per-round JSON).
+    secondary: dict[str, float] = {}
+    for name in SECONDARY:
+        if name not in qs:
+            continue
+        t0 = time.monotonic()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            secondary[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:
+            log(f"  {name} FAILED: {str(e)[:200]}")
+            secondary[name] = -1.0
+        log(f"  [2nd] {name:24s} {secondary[name]:7.2f}s")
     spark.stop()
-    return times
+    return times, secondary
 
 
 def write_baseline_md(p8, p32, eff, effs, parse_eff, kernel, times,
@@ -478,7 +507,7 @@ def main():
 
     kernel = run_kernel_bench()
 
-    times = run_headline(SF_DIR)
+    times, secondary = run_headline(SF_DIR)
     same_era = None
     if kernel_eff_same_era is not None:
         same_era = (
@@ -515,6 +544,7 @@ def main():
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "secondary_queries": secondary,
         "sf": SF,
         "pipeline_rows": p32["total_rows"],
         "pipeline_rows_per_sec_local8": round(p8["rows_per_sec"], 1),

@@ -238,14 +238,62 @@ def jaccard_similarity(df_pairs: DataFrame, docs: DataFrame,
 
 
 def near_duplicates_minhash(
-    df: DataFrame, threshold: float = 0.8, **kw
+    df: DataFrame, threshold: float = 0.8,
+    estimate_margin: float | None = 0.4, **kw
 ) -> DataFrame:
-    """LSH candidates -> exact-Jaccard verified pairs above threshold."""
+    """LSH candidates -> minhash-estimate prefilter -> exact-Jaccard
+    verified pairs above threshold.
+
+    The prefilter is the round-5 fix for candidate explosion: recall-
+    oriented banding (e.g. 32 bands x 2 rows for oracle-exact recall at
+    J>=0.7) happily emits a near-quadratic candidate set on a corpus
+    whose baseline similarity exceeds the banding threshold
+    ((1/b)^(1/r) ~ 0.18), and the exact verify then shuffles the big
+    shingle STRING arrays for every candidate (measured 3.3M pairs /
+    27s for 5k docs at sf0.1). The estimate join instead ships the
+    64-long signature ints and keeps only pairs whose component
+    agreement >= threshold - estimate_margin; the exact verify runs on
+    the survivors. The estimate is a mean of n_hashes Bernoulli(J)
+    trials, so a TRUE pair (J >= threshold) is dropped with probability
+    <= exp(-2*n_hashes*margin^2) (Hoeffding) — 1.3e-9 at (64, 0.4),
+    the same order as the banding miss probability callers already
+    accept. estimate_margin=None (or a margin >= threshold) disables
+    the prefilter."""
+    text_col = kw.get("text_col", "text")
+    id_col = kw.get("id_col", "doc_id")
+    k = kw.get("k", 5)
+    n_hashes = kw.get("n_hashes", 64)
+    seed = kw.get("seed", 42)
     cands = minhash_lsh_candidates(df, **kw)
-    sims = jaccard_similarity(
-        cands, df, kw.get("text_col", "text"), kw.get("id_col", "doc_id"),
-        kw.get("k", 5),
+    cutoff = (
+        max(threshold - estimate_margin, 0.0)
+        if estimate_margin is not None else 0.0
     )
+    if cutoff > 0.0:
+        sigs = df.select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(text_col, k).alias("_sh"),
+        ).select(
+            "id",
+            _signature_from_hashes(F.col("_sh"), n_hashes, seed)
+            .alias("msig"),
+        )
+        est = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ) / F.lit(float(n_hashes))
+        cands = (
+            cands
+            .join(sigs.select(F.col("id").alias("a"),
+                              F.col("msig").alias("sig_a")), "a")
+            .join(sigs.select(F.col("id").alias("b"),
+                              F.col("msig").alias("sig_b")), "b")
+            .filter(est >= cutoff)
+            .select("a", "b")
+        )
+    sims = jaccard_similarity(cands, df, text_col, id_col, k)
     return sims.filter(F.col("jaccard") >= threshold)
 
 
@@ -476,7 +524,12 @@ def star_contraction_components(
     spark = pairs.sparkSession
     ckpt = _IterCheckpointer(spark, checkpoint_dir, checkpoint_every,
                              tag="star_")
-    edges = (
+    # cut the INPUT plan's lineage immediately: `pairs` is typically the
+    # whole LSH candidate+verify pipeline, and without this cut the
+    # first alternation (and all_nodes) would re-execute it several
+    # times (round-5 finding: uncut edges made the end-to-end dedup
+    # re-run the minhash plan once per CC round — 149s -> ~50s at sf0.1)
+    edges = ckpt.cut(
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
@@ -586,7 +639,13 @@ def connected_components(
     ckpt = _IterCheckpointer(
         pairs.sparkSession, checkpoint_dir, checkpoint_every, tag="label_"
     )
-    edges = (
+    # cut the INPUT plan's lineage once: `edges` is referenced by EVERY
+    # propagation round, and `pairs` is typically the full LSH
+    # candidate+verify pipeline — uncut, each round's join + changed
+    # count re-executed that whole plan (round-5 finding via the new
+    # secondary bench section: dedup_pipeline spent ~75% of its 149s
+    # re-running minhash once per round)
+    edges = ckpt.cut(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionAll(
             pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
