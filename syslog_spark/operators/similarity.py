@@ -77,6 +77,16 @@ def _planes(dim: int, n_bits: int = 64, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n_bits, dim)).astype(np.float64)
 
 
+def _lit_double_array(values) -> Column:
+    """Literal array<double> in ONE py4j call. ``F.array(*[F.lit(x)...])``
+    costs a py4j round-trip PER ELEMENT — a 64x64-plane signature built
+    that way spent ~9s of pure driver-side gateway latency before any
+    data moved (round-5 finding). repr() round-trips float64 exactly."""
+    return F.expr(
+        "array(" + ",".join(f"{float(x)!r}D" for x in values) + ")"
+    )
+
+
 # above this many plane literals (n_bits * dim) the pure-Catalyst
 # signature stops being free: ~50-100k literal nodes per call at real
 # embedding widths (768-1536) bloat analysis time and can push generated
@@ -176,14 +186,32 @@ def rh_signature(
         )
     if engine == "pandas":
         return rh_signature_batch(vec_col, dim, n_bits, seed, cast=cast)
-    v = (
-        _vec(vec_col) if cast
-        else (F.col(vec_col) if isinstance(vec_col, str) else vec_col)
-    )
     planes = _planes(dim, n_bits, seed)
+    if isinstance(vec_col, str):
+        # build the WHOLE signature as one SQL expression — the
+        # per-bit Column-API form costs thousands of py4j round trips
+        # (plane literals + HOF lambda wrappers), ~9s of driver latency
+        # per call at 64x64 before any data moved (round-5 finding);
+        # the parser builds the identical tree JVM-side in one call
+        vname = f"`{vec_col}`" if not vec_col.startswith("`") else vec_col
+        vexpr = (
+            f"transform({vname}, x -> cast(x as double))" if cast else vname
+        )
+        bits = []
+        for i in range(n_bits):
+            arr = "array(" + ",".join(
+                f"{float(x)!r}D" for x in planes[i]
+            ) + ")"
+            bits.append(
+                f"shiftleft(cast(aggregate(zip_with({vexpr}, {arr}, "
+                f"(x, y) -> x * y), 0.0D, (a, x) -> a + x) > 0 as long), "
+                f"{i})"
+            )
+        return F.expr(" | ".join(bits))
+    v = _vec(vec_col) if cast else vec_col
     bit_cols = []
     for i in range(n_bits):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        plane = _lit_double_array(planes[i])
         bit = (dot(v, plane) > 0).cast("long")
         bit_cols.append(F.shiftleft(bit, i))
     sig = bit_cols[0]
@@ -300,7 +328,7 @@ def ivf_topk(
                 F.aggregate(
                     F.zip_with(
                         F.col("v"),
-                        F.array(*[F.lit(float(x)) for x in ctr]),
+                        _lit_double_array(ctr),
                         lambda a, b: (a - b) * (a - b),
                     ),
                     F.lit(0.0),
