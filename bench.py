@@ -325,9 +325,12 @@ def run_headline(sf_dir: str) -> dict:
 
 
 def write_baseline_md(p8, p32, eff, effs, parse_eff, kernel, times,
-                      same_era=None, ceiling_line=""):
+                      same_era=None, ceiling_line="", secondary=None):
     os.makedirs("BENCH", exist_ok=True)
     qlines = "\n".join(f"| {k} | {v:.2f} |" for k, v in times.items())
+    sec_lines = "\n".join(
+        f"| {k} | {v:.2f} |" for k, v in (secondary or {}).items()
+    )
     kern_line = "(kernel bench unavailable)"
     if kernel:
         kern_line = (
@@ -421,6 +424,16 @@ deployment the north rule describes.
 | query | seconds |
 | --- | --- |
 {qlines}
+
+### Secondary (dedup/ANN corpus paths — timed, not in the headline sum)
+
+| query | seconds |
+| --- | --- |
+{sec_lines}
+
+Round-5 context: dedup_pipeline was 149s before the lineage-cut +
+estimate-prefilter fixes (BENCH/SCALING_NOTES_r5.md) — this section
+exists so regressions on these paths are visible per round.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
@@ -537,7 +550,7 @@ def main():
             "this machine can scale anything)."
         )
     write_baseline_md(p8, p32, eff, effs, parse_eff, kernel, times,
-                      same_era, ceiling_line)
+                      same_era, ceiling_line, secondary)
 
     out = {
         "metric": "headline_suite_seconds",
