@@ -263,7 +263,7 @@ def run_kernel_bench() -> dict | None:
     return None
 
 
-def run_headline(sf_dir: str) -> dict:
+def run_headline(sf_dir: str) -> tuple[dict, dict]:
     import __spark_entry__ as E
 
     spark = session(CPUS)

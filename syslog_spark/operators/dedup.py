@@ -259,6 +259,8 @@ def near_duplicates_minhash(
     the same order as the banding miss probability callers already
     accept. estimate_margin=None (or a margin >= threshold) disables
     the prefilter."""
+    import math
+
     text_col = kw.get("text_col", "text")
     id_col = kw.get("id_col", "doc_id")
     k = kw.get("k", 5)
@@ -269,6 +271,14 @@ def near_duplicates_minhash(
         max(threshold - estimate_margin, 0.0)
         if estimate_margin is not None else 0.0
     )
+    if cutoff > 0.0 and (
+        math.exp(-2.0 * n_hashes * estimate_margin ** 2) > 1e-6
+    ):
+        # the Hoeffding drop bound depends on n_hashes: at the default
+        # margin it is 1.3e-9 for 64 hashes but ~0.6% for 16 — too weak
+        # to call negligible. Silently fall back to verifying every
+        # candidate rather than silently losing true pairs.
+        cutoff = 0.0
     if cutoff > 0.0:
         sigs = df.select(
             F.col(id_col).alias("id"),
@@ -468,10 +478,16 @@ class _IterCheckpointer:
         out = self.spark.read.parquet(path)
         self.spills.append(path)
         for old in self.spills[:-3]:
-            if "://" not in old:
-                import shutil
+            try:
+                # pyarrow.fs handles local paths AND remote schemes —
+                # a shutil-only GC would leak every spill on the hdfs/
+                # s3 checkpoint_dirs this feature exists for
+                from ..sources.direct import _resolve_fs
 
-                shutil.rmtree(old, ignore_errors=True)
+                fs, inner = _resolve_fs(old)
+                fs.delete_dir(inner)
+            except Exception:
+                pass  # best-effort GC; a leaked spill is not an error
         self.spills = self.spills[-3:]
         return out
 

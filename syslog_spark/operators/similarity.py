@@ -77,14 +77,18 @@ def _planes(dim: int, n_bits: int = 64, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n_bits, dim)).astype(np.float64)
 
 
+def _double_array_sql(values) -> str:
+    """SQL text for a literal array<double>. repr() round-trips float64
+    exactly; the D suffix makes each element a double literal."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in values) + ")"
+
+
 def _lit_double_array(values) -> Column:
     """Literal array<double> in ONE py4j call. ``F.array(*[F.lit(x)...])``
     costs a py4j round-trip PER ELEMENT — a 64x64-plane signature built
     that way spent ~9s of pure driver-side gateway latency before any
-    data moved (round-5 finding). repr() round-trips float64 exactly."""
-    return F.expr(
-        "array(" + ",".join(f"{float(x)!r}D" for x in values) + ")"
-    )
+    data moved (round-5 finding)."""
+    return F.expr(_double_array_sql(values))
 
 
 # above this many plane literals (n_bits * dim) the pure-Catalyst
@@ -199,9 +203,7 @@ def rh_signature(
         )
         bits = []
         for i in range(n_bits):
-            arr = "array(" + ",".join(
-                f"{float(x)!r}D" for x in planes[i]
-            ) + ")"
+            arr = _double_array_sql(planes[i])
             bits.append(
                 f"shiftleft(cast(aggregate(zip_with({vexpr}, {arr}, "
                 f"(x, y) -> x * y), 0.0D, (a, x) -> a + x) > 0 as long), "

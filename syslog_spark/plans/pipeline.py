@@ -67,15 +67,29 @@ def parsed_frame(
     spark: SparkSession, input_path: str, cfg: PipelineConfig | None = None
 ) -> DataFrame:
     cfg = cfg or PipelineConfig()
-    use_direct = cfg.direct_parquet == "always" or (
-        cfg.direct_parquet == "auto" and _can_read_direct(input_path)
-    )
+    if cfg.source_prefixes is not None and not cfg.source_prefixes:
+        raise ValueError(
+            "source_prefixes=[] selects nothing; pass None for all sources"
+        )
+    scanned = None
+    use_direct = cfg.direct_parquet == "always"
+    if cfg.direct_parquet == "auto" and not input_path.startswith("iceberg:"):
+        # ONE listing decides feed-path support AND feeds the direct
+        # source (a layout_supported + parse_tokens_direct pair would
+        # recursively list an object store twice, review finding)
+        from ..sources.direct import _scan
+
+        try:
+            scanned = _scan(input_path)
+            use_direct = True
+        except Exception:
+            use_direct = False
     if use_direct:
         from ..sources.direct import parse_tokens_direct
 
         parsed = parse_tokens_direct(
             spark, input_path, cfg.reference_year, cfg.reference_tz_offset,
-            source_prefixes=cfg.source_prefixes,
+            source_prefixes=cfg.source_prefixes, _scanned=scanned,
         )
     else:
         from pyspark.sql import functions as F

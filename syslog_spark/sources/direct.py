@@ -157,6 +157,7 @@ def parse_tokens_direct(
     keep_raw: bool = False,
     batch_rows: int = 32768,
     source_prefixes: list[str] | None = None,
+    _scanned=None,
 ) -> DataFrame:
     """Parquet token dir -> parsed DataFrame, one fused read+parse stage.
 
@@ -168,10 +169,20 @@ def parse_tokens_direct(
     hive `source=` layout, files whose partition value does not start
     with one of the prefixes are never opened (the file-list analogue of
     Catalyst pruning `WHERE source LIKE 'rfc5424%'` down to directory
-    listings). Plain string-prefix match, like LIKE 'p%'."""
+    listings). Plain string-prefix match, like LIKE 'p%'. An EMPTY
+    prefix list is rejected — it would mean "no sources", which is
+    never what a caller wants (use None for all sources).
+
+    ``_scanned`` is the private single-listing handoff: plans/pipeline
+    passes its own _scan result so auto mode lists the store once, not
+    twice."""
     from pyspark.sql import functions as F
 
-    fs, files = _scan(path)
+    if source_prefixes is not None and not source_prefixes:
+        raise ValueError(
+            "source_prefixes=[] selects nothing; pass None for all sources"
+        )
+    fs, files = _scanned if _scanned is not None else _scan(path)
     if source_prefixes is not None:
         files = [
             (f, sz, src)

@@ -146,12 +146,18 @@ def streaming_dedup_exact(
         n = 0
         for pdf in pdf_iter:
             if len(pdf):
-                n += len(pdf)
-                m = pdf["id"].min()
-                mn = m if mn is None else min(mn, m)
+                n += len(pdf)  # count(*) semantics: null ids still count
+                ids = pdf["id"].dropna()
+                if len(ids):
+                    # min over NON-NULL ids only — pandas .min() raises
+                    # on str/None mixes, and the batch twin's F.min /
+                    # the SQL oracle's min() both skip nulls
+                    m = ids.min()
+                    mn = m if mn is None else min(mn, m)
         if state.exists:
             k, seen = state.get
-            mn = k if mn is None else min(mn, k)
+            if k is not None:
+                mn = k if mn is None else min(mn, k)
             n += seen
         state.update((mn, n))
         yield pd.DataFrame(

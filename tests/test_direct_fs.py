@@ -196,3 +196,24 @@ def test_pipeline_source_prefixes_both_paths(spark, tmp_path):
                             source_prefixes=["rfc5424"]))
     assert a["n"] == b["n"] == 280  # rfc5424 + rfc5424x, not nginx
     assert a["cs"] == b["cs"]
+
+
+def test_empty_source_prefixes_rejected(spark, tmp_path):
+    """source_prefixes=[] is ambiguous (selects nothing) and previously
+    got three different behaviors depending on feed-path routing; both
+    entry points now reject it uniformly."""
+    from syslog_spark.plans.pipeline import PipelineConfig, parsed_frame
+    from syslog_spark.sources.direct import parse_tokens_direct
+
+    path = str(tmp_path / "tok")
+    _mini_tokens(spark, "rfc5424", 50).write.mode("overwrite").partitionBy(
+        "source"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="selects nothing"):
+        parse_tokens_direct(spark, path, source_prefixes=[])
+    for direct in ("always", "never", "auto"):
+        with pytest.raises(ValueError, match="selects nothing"):
+            parsed_frame(
+                spark, path,
+                PipelineConfig(direct_parquet=direct, source_prefixes=[]),
+            )

@@ -453,3 +453,58 @@ def test_streaming_dedup_rocksdb_state_store(spark, tmp_path):
     got = {r["keep"]: r["n"] for r in final}
     assert got["0-a"] == 3
     assert len(got) == 4
+
+
+def test_streaming_dedup_null_doc_id(spark, tmp_path):
+    """Null ids must not crash the stateful fold (pandas .min() raises
+    on str/None mixes): null-id rows still COUNT (count(*) semantics)
+    but the survivor min skips them, matching the batch twin / oracle."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from syslog_spark.streaming.stream_pipeline import streaming_dedup_exact
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [None, "z"], "text": ["shared", "shared"]}),
+        str(d / "f0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"doc_id": ["a", None], "text": ["shared", "only-null"]}),
+        str(d / "f1.parquet"),
+    )
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    name = f"sdn_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_dedup_exact(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = {
+        r["digest"]: (r["keep_doc_id"], r["n_docs"])
+        for r in spark.table(name).groupBy("digest").agg(
+            F.min("keep_doc_id").alias("keep_doc_id"),
+            F.max("n_docs").alias("n_docs"),
+        ).collect()
+    }
+    assert len(final) == 2
+    vals = sorted(final.values(), key=lambda v: v[1])
+    assert vals[0] == (None, 1)   # the only-null-id digest
+    assert vals[1] == ("a", 3)    # null id counted, min skips it
