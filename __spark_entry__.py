@@ -669,6 +669,35 @@ def q_quality(spark, sf_dir):
     )
 
 
+def q_document_stats(spark, sf_dir):
+    """The composite one-pass text-stat projection (with the round-5
+    hoisted tokenizations) oracle-checked as a WHOLE: counts, ratios,
+    quality score, language id, and fingerprint must all match DuckDB
+    recomputing the same formulas. n_tokens_bpe is excluded (its regex
+    uses lookarounds, which DuckDB's RE2 cannot express). Ratios/quality
+    compare as floor(x*1e4): the doubles are bit-identical (same IEEE
+    ops in the same order both engines), but round() is NOT comparable —
+    Spark rounds the shortest DECIMAL repr (BigDecimal HALF_UP) while
+    DuckDB rounds the BINARY value, so any value whose shortest repr
+    ends in ...5 at the 5th place diverges (hit on row 492 of sf0.01);
+    floor of the identical product is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = TS.document_stats(docs)
+    return stats.select(
+        "doc_id",
+        F.col("n_chars_computed").cast("bigint").alias("n_chars_c"),
+        F.col("n_tokens_ws").cast("bigint").alias("n_tokens_ws"),
+        F.floor(F.col("punct_ratio") * 10000.0).cast("bigint")
+        .alias("punct_ratio_e4"),
+        F.floor(F.col("stopword_ratio") * 10000.0).cast("bigint")
+        .alias("stopword_ratio_e4"),
+        F.floor(F.col("quality") * 10000.0).cast("bigint")
+        .alias("quality_e4"),
+        "lang_pred",
+        "fingerprint",
+    )
+
+
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TS.lang_id("text").alias("lang_pred"))
@@ -1515,6 +1544,64 @@ def oracle_sql() -> dict[str, str]:
                          1), 4) AS stopword_ratio
             FROM documents""",
         "lang_id": _LANG_ID_DUCK,
+        "document_stats": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\s+') AS wt,
+                     string_split_regex(lower(trim(text)), '\s+') AS wl
+              FROM documents
+            ), base AS (
+              SELECT doc_id, text,
+                CASE WHEN trim(text) = '' THEN 0 ELSE len(wt) END AS ntok,
+                len(list_filter(wl, x -> x IN ('the','a','of','and','to',
+                    'in','is','it','that','for'))) AS nstop,
+                (  (length(text) - length(replace(text, '.', '')))
+                 + (length(text) - length(replace(text, ',', '')))
+                 + (length(text) - length(replace(text, ';', '')))
+                 + (length(text) - length(replace(text, ':', '')))
+                 + (length(text) - length(replace(text, '!', '')))
+                 + (length(text) - length(replace(text, '?', '')))
+                 + (length(text) - length(replace(text, '''', '')))
+                 + (length(text) - length(replace(text, '"', '')))
+                 + (length(text) - length(replace(text, '(', '')))
+                 + (length(text) - length(replace(text, ')', '')))
+                 + (length(text) - length(replace(text, '[', '')))
+                 + (length(text) - length(replace(text, ']', '')))
+                 + (length(text) - length(replace(text, '{', '')))
+                 + (length(text) - length(replace(text, '}', '')))
+                ) * 1.0 / greatest(length(text), 1) AS pr,
+                list_aggregate(list_transform(wt, x -> length(x)), 'sum')
+                  * 1.0 / greatest(len(wt), 1) AS mwl,
+                len(list_filter(wl, x -> x IN ('the','and','of','is',
+                    'that'))) AS s_en,
+                len(list_filter(wl, x -> x IN ('der','die','und','ist',
+                    'nicht'))) AS s_de,
+                len(list_filter(wl, x -> x IN ('le','la','et','est',
+                    'les'))) AS s_fr,
+                len(list_filter(wl, x -> x IN ('el','la','que','de',
+                    'es'))) AS s_es
+              FROM w
+            )
+            SELECT doc_id,
+              length(text) AS n_chars_c,
+              CAST(ntok AS BIGINT) AS n_tokens_ws,
+              CAST(floor(pr * 10000.0) AS BIGINT) AS punct_ratio_e4,
+              CAST(floor(nstop * 1.0 / greatest(ntok, 1) * 10000.0)
+                   AS BIGINT) AS stopword_ratio_e4,
+              CAST(floor((  least(length(text) / 200.0, 1.0)
+                     + least(nstop * 1.0 / greatest(ntok, 1) * 5.0, 1.0)
+                     + 1.0 - least(pr * 4.0, 1.0)
+                     + CASE WHEN mwl >= 3 AND mwl <= 10
+                            THEN 1.0 ELSE 0.3 END) / 4.0 * 10000.0)
+                   AS BIGINT) AS quality_e4,
+              CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                   ELSE 'es' END AS lang_pred,
+              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                  AS fingerprint
+            FROM base""",
         "ann_brute_force": """
             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                    row_number() OVER (
@@ -1823,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality": q_quality,
         "lang_id": q_lang_id,
+        "document_stats": q_document_stats,
         "ann_brute_force": q_ann_brute_force,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
