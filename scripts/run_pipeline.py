@@ -52,8 +52,14 @@ def main() -> int:
                     help="standalone only; under spark-submit leave unset")
     ap.add_argument("--direct", default="auto",
                     choices=("auto", "never", "always"),
-                    help="fused pyarrow read+parse for local parquet dirs "
-                         "(auto: only when input is a local directory)")
+                    help="fused pyarrow read+parse (auto: when the input "
+                         "is a plain parquet dir on a pyarrow.fs-readable "
+                         "store: local, file://, s3://, s3a://, hdfs://)")
+    ap.add_argument("--source-prefix", action="append", default=None,
+                    metavar="PREFIX",
+                    help="process only sources matching this LIKE-'p%%' "
+                         "prefix (repeatable); prunes partitions at the "
+                         "file list (direct) or scan (standard)")
     args = ap.parse_args()
 
     from syslog_spark import constants as C
@@ -77,6 +83,7 @@ def main() -> int:
         resume=args.resume,
         write_metrics=not args.no_metrics,
         direct_parquet=args.direct,
+        source_prefixes=args.source_prefix,
     )
     res = run_pipeline(spark, args.input, args.out, cfg)
     res.pop("sink_stats", None)

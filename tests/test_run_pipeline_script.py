@@ -51,3 +51,37 @@ def test_run_pipeline_script_standalone(spark, tmp_path):
     )
     assert res2["routed_rows"] == res["routed_rows"]
     assert res2["skipped_sinks"] > 0
+
+
+def test_run_pipeline_script_source_prefix(spark, tmp_path):
+    """--source-prefix (repeatable) prunes the pipeline input; routed
+    rows must cover exactly the matching sources."""
+    from syslog_spark.sources.datagen import write_token_table
+
+    tokens = str(tmp_path / "tokens")
+    out = str(tmp_path / "out")
+    write_token_table(spark, tokens, 10_000, partitions=4)
+    all_sources = {
+        r["source"]
+        for r in spark.read.parquet(tokens).select("source")
+        .distinct().collect()
+    }
+    assert any(s.startswith("rfc5424") for s in all_sources)
+    assert any(not s.startswith("rfc5424") for s in all_sources)
+    want = (
+        spark.read.parquet(tokens)
+        .filter("source LIKE 'rfc5424%'").count()
+    )
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_pipeline.py"),
+         "--input", tokens, "--out", out, "--master", "local[4]",
+         "--source-prefix", "rfc5424"],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "SPARK_DRIVER_MEM": "6g"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    res = json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert res["routed_rows"] + res["error_rows"] == want > 0
