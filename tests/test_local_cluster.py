@@ -68,6 +68,33 @@ _PROBE = textwrap.dedent("""
     )
     pairs = near_duplicates_minhash(docs, threshold=0.8)
     comps = connected_components(pairs)
+
+    # stateful streaming across REAL executors: HDFS-backed state store
+    # + applyInPandasWithState on executor python workers
+    import uuid
+    from syslog_spark.streaming.stream_pipeline import streaming_dedup_exact
+    sd = f"{{base}}/sdocs"
+    docs.withColumn("doc_id", docs.doc_id.cast("string")).repartition(
+        4
+    ).write.mode("overwrite").parquet(sd)
+    sschema = "doc_id string, text string"
+    sname = f"lc_{{uuid.uuid4().hex[:8]}}"
+    sq = (
+        streaming_dedup_exact(
+            spark.readStream.schema(sschema)
+            .option("maxFilesPerTrigger", 2).parquet(sd)
+        )
+        .writeStream.format("memory").queryName(sname)
+        .option("checkpointLocation", f"{{base}}/sckpt")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    sq.awaitTermination()
+    sfinal = spark.table(sname).groupBy("digest").agg(
+        F.max("n_docs").alias("n")
+    )
+    stream_total = sfinal.agg(F.sum("n")).first()[0]
+    stream_digests = sfinal.count()
+
     print("PROBE " + json.dumps({{
         "routed_std": r_std["routed_rows"],
         "routed_dir": r_dir["routed_rows"],
@@ -77,6 +104,8 @@ _PROBE = textwrap.dedent("""
         "n_pairs": pairs.count(),
         "n_nodes": comps.count(),
         "n_comps": comps.select("component").distinct().count(),
+        "stream_total": stream_total,
+        "stream_digests": stream_digests,
     }}))
     spark.stop()
 """)
@@ -115,3 +144,7 @@ def test_local_cluster_pipeline_and_dedup(tmp_path):
     assert got["n_nodes"] == 300
     assert got["n_comps"] == 7
     assert got["n_pairs"] >= 300
+    # stateful streaming dedup across real executors: every doc counted
+    # once, 21 distinct texts (7 bases x 3 copy-suffixes)
+    assert got["stream_total"] == 300
+    assert got["stream_digests"] == 21
