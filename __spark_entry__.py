@@ -1143,6 +1143,21 @@ _STREAM_LINE_SPARK = (
 _STREAM_CORPUS_VERSION = "v1"
 
 
+def _table_stamp(sf_dir, table: str) -> str:
+    """Content stamp of an input table file — cached derived corpora key
+    on it so regenerating the testdata in place invalidates the /tmp
+    cache instead of silently replaying stale rows against a fresh
+    oracle (round-5 review)."""
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(p)
+        return f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        return "absent"
+
+
 def stream_token_corpus(spark, sf_dir) -> str:
     """Materialize a deterministic token corpus for the streaming gates
     (parquet under /tmp, keyed by sf_dir + construction version). Written
@@ -1151,7 +1166,8 @@ def stream_token_corpus(spark, sf_dir) -> str:
     import os
 
     key = hashlib.md5(
-        (os.path.abspath(sf_dir) + _STREAM_CORPUS_VERSION + _STREAM_LINE_SPARK)
+        (os.path.abspath(sf_dir) + _STREAM_CORPUS_VERSION + _STREAM_LINE_SPARK
+         + _table_stamp(sf_dir, "events"))
         .encode()
     ).hexdigest()[:12]
     path = f"/tmp/syslog_spark_stream_{key}"
@@ -1286,7 +1302,8 @@ def stream_docs_corpus(spark, sf_dir) -> str:
     import os
 
     key = hashlib.md5(
-        (os.path.abspath(sf_dir) + _STREAM_DOCS_VERSION).encode()
+        (os.path.abspath(sf_dir) + _STREAM_DOCS_VERSION
+         + _table_stamp(sf_dir, "documents")).encode()
     ).hexdigest()[:12]
     path = f"/tmp/syslog_spark_streamdocs_{key}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

@@ -298,6 +298,21 @@ def route_write(
     if resume:
         _clear_stale_temporary(spark, f"{out_dir}/{ROUTED}")
         done = completed_sinks(spark, out_dir)
+        if done is None and routed_exists:
+            # routed data with NO manifest = a FRESH (committer v2)
+            # write crashed mid-job: its task-visible partials are in
+            # the final sink dirs and nothing is recorded as complete.
+            # resume would append the full dataset ON TOP of the
+            # partials and then compute a manifest over the duplicated
+            # table, legitimizing the inflated counts (round-5 review).
+            # The correct recovery for a crashed fresh write is a fresh
+            # rerun (static overwrite clears the partials).
+            raise RuntimeError(
+                f"resume=True but {out_dir}/{MANIFEST} is missing while "
+                f"{out_dir}/{ROUTED} exists — this looks like a crashed "
+                "FRESH write (partials present, nothing committed). "
+                "Rerun with resume=False to overwrite from scratch."
+            )
         if done is not None:
             keys = done.select("sink_severity", "source")
             skipped = keys.count()

@@ -191,13 +191,17 @@ def rh_signature(
     if engine == "pandas":
         return rh_signature_batch(vec_col, dim, n_bits, seed, cast=cast)
     planes = _planes(dim, n_bits, seed)
-    if isinstance(vec_col, str):
+    if isinstance(vec_col, str) and vec_col.isidentifier():
         # build the WHOLE signature as one SQL expression — the
         # per-bit Column-API form costs thousands of py4j round trips
         # (plane literals + HOF lambda wrappers), ~9s of driver latency
         # per call at 64x64 before any data moved (round-5 finding);
-        # the parser builds the identical tree JVM-side in one call
-        vname = f"`{vec_col}`" if not vec_col.startswith("`") else vec_col
+        # the parser builds the identical tree JVM-side in one call.
+        # Simple identifiers only: backticking a dotted/qualified name
+        # ('s.embedding') would turn it into one literal identifier and
+        # break the resolution F.col provides — those take the Column
+        # path below.
+        vname = f"`{vec_col}`"
         vexpr = (
             f"transform({vname}, x -> cast(x as double))" if cast else vname
         )
@@ -210,7 +214,8 @@ def rh_signature(
                 f"{i})"
             )
         return F.expr(" | ".join(bits))
-    v = _vec(vec_col) if cast else vec_col
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = _vec(c) if cast else c
     bit_cols = []
     for i in range(n_bits):
         plane = _lit_double_array(planes[i])

@@ -139,6 +139,14 @@ def test_chaos_kill_fresh_then_rerun_and_kill_resume_then_resume(
     partials = glob.glob(f"{out}/routed/sink_severity=*/source=*/*.parquet")
     assert partials, "kill should have left task-visible v2 partials"
 
+    # the WRONG recovery — resume=True on a crashed fresh write — must
+    # be refused: no manifest means nothing is recorded complete, and
+    # appending would land the full dataset on top of the v2 partials
+    # and then legitimize the duplicates in a fresh manifest
+    with pytest.raises(RuntimeError, match="crashed\\s+FRESH write"):
+        route_write(parse_tokens(spark.read.parquet(b1)), out, spark,
+                    resume=True, write_metrics=False, files_per_sink=4)
+
     # documented recovery: rerun the fresh write from scratch
     route_write(parse_tokens(spark.read.parquet(b1)), out, spark,
                 write_metrics=False, files_per_sink=4)

@@ -475,6 +475,30 @@ def test_connected_components_parquet_spill_checkpoint(spark, tmp_path):
     assert int(spills[-1].rsplit("_", 1)[1]) >= 6
 
 
+def test_connected_components_spill_every_round(spark, tmp_path):
+    """checkpoint_every=1 (every cut spills): the rolling GC must NOT
+    delete the pinned input-edges spill that every round re-reads —
+    doing so crashed round every+1 with FAILED_READ_FILE (executed
+    repro, round-5 review)."""
+    import os
+
+    from syslog_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "a long, b long"
+    )
+    ck = str(tmp_path / "cc1")
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            pairs, algorithm="label", checkpoint_dir=ck, checkpoint_every=1
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(10)}
+    names = os.listdir(ck)
+    assert any(n.startswith("label_pin_") for n in names)  # input pinned
+
+
 def test_star_contraction_parquet_spill_checkpoint(spark, tmp_path):
     """Star contraction with a durable checkpoint_dir: every half-round
     cut spills to parquet; the component map is unchanged."""
@@ -604,3 +628,30 @@ def test_rh_signature_pandas_null_and_bad_width_rows(spark):
     assert got[2] == (None, None)
     assert got[0][0] == got[0][1] is not None
     assert got[3][0] == got[3][1] is not None
+
+
+def test_rh_signature_sql_and_column_paths_agree(spark):
+    """The single-F.expr signature (simple identifier names) and the
+    Column-API fallback (Column inputs / non-identifier names) must
+    build the SAME values; dotted struct references take the Column
+    path and resolve (backticking them would break resolution)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from syslog_spark.operators.similarity import rh_signature
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    both = df.select(
+        rh_signature("embedding", 8, 16, cast=False).alias("sql_sig"),
+        rh_signature(F.col("embedding"), 8, 16, cast=False)
+        .alias("col_sig"),
+    )
+    assert both.filter("sql_sig <> col_sig").count() == 0
+    # dotted name through a struct: Column path resolves it
+    nested = df.select(F.struct("embedding").alias("s"))
+    got = nested.select(
+        rh_signature(F.col("s.embedding"), 8, 16, cast=False).alias("sig")
+    )
+    assert got.filter("sig is null").count() == 0
