@@ -90,6 +90,28 @@ def _coeffs(n_hashes: int, seed: int = 42):
     return a, b
 
 
+def _spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the cluster's parallelism before per-row
+    heavy compute (signature folds, simhash votes, shingle hashing).
+
+    The driver's sf tables are SINGLE parquet files with one row group,
+    so every scan-side projection otherwise runs in ONE task — the
+    round-6 measurement found the whole minhash signature scan of a
+    50k-doc corpus on one core of 32 (57s; ~3s spread). Scale-adaptive:
+    when the input already has at least defaultParallelism/2 partitions
+    (any real multi-file corpus), this is the identity — no extra
+    shuffle is ever added to a 100-TB input."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive (streaming frames)
+        return df
+    if n * 2 <= p:
+        return df.repartition(p)
+    return df
+
+
 def _signature_from_hashes(hashes: Column, n_hashes: int = 64,
                            seed: int = 42) -> Column:
     """The 64 min-permutation folds over an ALREADY-MATERIALIZED hash
@@ -111,6 +133,87 @@ def _signature_from_hashes(hashes: Column, n_hashes: int = 64,
         for i in range(n_hashes)
     ]
     return F.array(*sigs)
+
+
+def _signature_batch_udf(n_hashes: int = 64, seed: int = 42,
+                         n_extra: int = 0):
+    """Vectorized twin of :func:`_signature_from_hashes`: one pandas UDF
+    computing all n_hashes min-permutation folds with numpy instead of
+    n_hashes interpreted Catalyst ``array_min(transform(...))`` folds
+    (HOFs are CodegenFallback — the fold family alone cost ~35s of the
+    50k-doc corpus scan at sf1.0; the numpy form is ~1s).
+
+    BIT-IDENTICAL to the Catalyst form: same coefficients, and
+    ``(a*h + b) % M31`` over int64 (a, b, h all < 2^31, so the product
+    stays below 2^62 — no overflow, same values as Spark's pmod), then a
+    per-row segment min. A NULL hash array maps to the Catalyst result
+    for a NULL input (an array of n_hashes NULLs).
+
+    With ``n_extra > 0`` the UDF ALSO folds n_extra additional
+    independent permutations (coefficients from seed+1000) and returns a
+    struct ``(sig, p)`` where ``p`` is a packed (n_hashes + n_extra)-byte
+    binary: the LOW byte of every min value (the n_hashes exact-signature
+    mins first, then the extras). ``p`` feeds the estimate prefilter:
+    byte equality is NECESSARY for component equality, so a byte-match
+    fraction is >= the true component-match fraction — a keep-superset
+    compression that can only weaken pruning, never drop a true pair."""
+    a, b = _coeffs(n_hashes, seed)
+    if n_extra:
+        ae, be = _coeffs(n_extra, seed + 1000)
+        a = np.concatenate([a, ae])
+        b = np.concatenate([b, be])
+    n_total = n_hashes + n_extra
+
+    def _fold(hashes: pd.Series):
+        """-> (list indices with data, (rows, n_total) int64 mins)."""
+        vals = hashes.to_numpy()
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        if not idx:
+            return idx, None
+        arrs = [np.asarray(vals[i], dtype=np.int64) for i in idx]
+        lens = np.fromiter(
+            (x.size for x in arrs), dtype=np.int64, count=len(arrs)
+        )
+        flat = np.concatenate(arrs)
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        sigs = np.empty((len(arrs), n_total), dtype=np.int64)
+        for j in range(n_total):
+            t = (a[j] * flat + b[j]) % MERSENNE_31
+            sigs[:, j] = np.minimum.reduceat(t, starts)
+        return idx, sigs
+
+    if not n_extra:
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def _sig(hashes: pd.Series) -> pd.Series:
+            out = [[None] * n_hashes] * len(hashes)
+            idx, sigs = _fold(hashes)
+            for row, i in enumerate(idx):
+                out[i] = sigs[row]
+            return pd.Series(out)
+
+        return _sig
+
+    @F.pandas_udf(
+        T.StructType([
+            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("p", T.BinaryType()),
+        ])
+    )
+    def _sig_packed(hashes: pd.Series) -> pd.DataFrame:
+        n = len(hashes)
+        sig_col: list = [[None] * n_hashes] * n
+        p_col: list = [None] * n
+        idx, sigs = _fold(hashes)
+        if idx:
+            packed = (sigs & 0xFF).astype(np.uint8)
+            for row, i in enumerate(idx):
+                sig_col[i] = sigs[row, :n_hashes]
+                p_col[i] = packed[row].tobytes()
+        return pd.DataFrame({"sig": sig_col, "p": p_col})
+
+    return _sig_packed
 
 
 def minhash_signature(col: Column | str, n_hashes: int = 64, k: int = 5,
@@ -151,6 +254,15 @@ def minhash_lsh_candidates(
     banded = _minhash_banded(
         df, text_col, id_col, n_hashes, bands, k, seed, _sigs=_sigs
     )
+    return _raw_bucket_pairs(banded, max_bucket).distinct()
+
+
+def _raw_bucket_pairs(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """(a, b) in-bucket pairs, WITHOUT the cross-band distinct — callers
+    that run a cheap per-pair prefilter next (the packed-estimate join)
+    apply it BEFORE deduplicating, so the distinct's hash aggregate sees
+    the (small) survivor set instead of the raw near-quadratic candidate
+    stream (44M-row distinct was 44s at sf1.0; post-filter it is ~2s)."""
     w = Window.partitionBy("band", "bucket").orderBy("id")
     capped = (
         banded.withColumn("_rn", F.row_number().over(w))
@@ -158,29 +270,74 @@ def minhash_lsh_candidates(
     )
     left = capped.select("band", "bucket", F.col("id").alias("a"))
     right = capped.select("band", "bucket", F.col("id").alias("b"))
-    pairs = (
+    return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
-    return pairs
 
 
 def _minhash_sigs(df, text_col, id_col, n_hashes, k, seed) -> DataFrame:
     """(id, sig) minhash signatures. The shingle hashes are hoisted
-    through their own projection so the 64 array_min folds share ONE
+    through their own projection so the fold stage consumes ONE
     materialized array instead of re-evaluating the shingle->hash
     subtree per fold (HOFs are CodegenFallback; CollapseProject keeps
     the boundary because the subtree is non-cheap and multiply
     referenced) — measured 16x on the sf0.1 corpus scan (120.7s ->
-    7.9s), tools/bench_minhash_ab.py."""
-    return df.select(
+    7.9s), tools/bench_minhash_ab.py. Round 6: the folds themselves
+    moved from n_hashes interpreted Catalyst array_min(transform(...))
+    expressions to one numpy pandas UDF (:func:`_signature_batch_udf`,
+    bit-identical values), and the scan is spread across cores first
+    (:func:`_spread_if_narrow` — the sf tables are single-file scans)."""
+    sig = _signature_batch_udf(n_hashes, seed)
+    return _spread_if_narrow(df).select(
         F.col(id_col).alias("id"), shingle_hashes(text_col, k).alias("_sh")
     ).select(
         "id",
-        _signature_from_hashes(F.col("_sh"), n_hashes, seed).alias("sig"),
+        sig(F.col("_sh")).alias("sig"),
     )
+
+
+def _minhash_sigs_packed(df, text_col, id_col, n_hashes, k, seed,
+                         n_extra) -> DataFrame:
+    """(id, sig, p): the exact banding signature PLUS the packed
+    (n_hashes + n_extra)-byte estimate sketch, from ONE corpus scan."""
+    sig = _signature_batch_udf(n_hashes, seed, n_extra=n_extra)
+    return _spread_if_narrow(df).select(
+        F.col(id_col).alias("id"), shingle_hashes(text_col, k).alias("_sh")
+    ).select(
+        "id", sig(F.col("_sh")).alias("_s")
+    ).select("id", "_s.sig", "_s.p")
+
+
+def _byte_match_udf(n_bytes: int):
+    """count of equal bytes between two fixed-width binary sketches
+    (NULL when either side is NULL — matching the Catalyst est's NULL
+    comparison semantics, which drops the pair at the filter)."""
+
+    @F.pandas_udf(T.LongType())
+    def _matches(pa: pd.Series, pb: pd.Series) -> pd.Series:
+        va, vb = pa.to_numpy(), pb.to_numpy()
+        n = len(va)
+        out = np.zeros(n, dtype=np.int64)
+        ok = np.fromiter(
+            (x is not None and y is not None for x, y in zip(va, vb)),
+            dtype=bool, count=n,
+        )
+        idx = np.flatnonzero(ok)
+        if idx.size:
+            aa = np.frombuffer(
+                b"".join(va[i] for i in idx), dtype=np.uint8
+            ).reshape(-1, n_bytes)
+            bb = np.frombuffer(
+                b"".join(vb[i] for i in idx), dtype=np.uint8
+            ).reshape(-1, n_bytes)
+            out[idx] = (aa == bb).sum(axis=1)
+        res = pd.Series(out, dtype="Int64")
+        res[~ok] = pd.NA
+        return res
+
+    return _matches
 
 
 def _minhash_banded(df, text_col, id_col, n_hashes, bands, k, seed,
@@ -236,7 +393,7 @@ def jaccard_similarity(df_pairs: DataFrame, docs: DataFrame,
                        text_col: str = "text", id_col: str = "doc_id",
                        k: int = 5) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification step)."""
-    sh = docs.select(
+    sh = _spread_if_narrow(docs).select(
         F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
     )
     a = sh.withColumnRenamed("id", "a").withColumnRenamed("sh", "sh_a")
@@ -265,15 +422,17 @@ def near_duplicates_minhash(
     whose baseline similarity exceeds the banding threshold
     ((1/b)^(1/r) ~ 0.18), and the exact verify then shuffles the big
     shingle STRING arrays for every candidate (measured 3.3M pairs /
-    27s for 5k docs at sf0.1). The estimate join instead ships the
-    64-long signature ints and keeps only pairs whose component
-    agreement >= threshold - estimate_margin; the exact verify runs on
-    the survivors. The estimate is a mean of n_hashes Bernoulli(J)
-    trials, so a TRUE pair (J >= threshold) is dropped with probability
-    <= exp(-2*n_hashes*margin^2) (Hoeffding) — 1.3e-9 at (64, 0.4),
-    the same order as the banding miss probability callers already
-    accept. estimate_margin=None (or a margin >= threshold) disables
-    the prefilter."""
+    27s for 5k docs at sf0.1). The round-6 prefilter keeps only pairs
+    whose packed-sketch component agreement over 4*n_hashes independent
+    min-permutations is >= threshold - estimate_margin/2; a TRUE pair
+    (J >= threshold) is dropped with probability
+    <= exp(-2*(4*n_hashes)*(margin/2)^2) == exp(-2*n_hashes*margin^2)
+    (Hoeffding) — 1.3e-9 at (64, 0.4), the same order as the banding
+    miss probability callers already accept (the byte packing of the
+    sketch only ever INFLATES the estimate, so it cannot add drops).
+    The exact string-shingle verify then runs on the survivors' docs
+    only (semi-joined corpus). estimate_margin=None (or a margin >=
+    threshold) disables the prefilter."""
     import math
 
     text_col = kw.get("text_col", "text")
@@ -293,32 +452,61 @@ def near_duplicates_minhash(
         # to call negligible. Silently fall back to verifying every
         # candidate rather than silently losing true pairs.
         cutoff = 0.0
-    sigs = None
     if cutoff > 0.0:
-        # ONE signature scan shared by banding and the estimate join
-        # (an independent second scan would re-pay the operator's
-        # dominant cost); localCheckpoint materializes it at first use
-        sigs = _minhash_sigs(
-            df, text_col, id_col, n_hashes, k, seed
+        # Round-6 shape of the prefilter (same Hoeffding drop bound,
+        # far cheaper join): the estimate uses 4*n_hashes independent
+        # min-permutation components at HALF the margin — Hoeffding
+        # exp(-2*(4n)*(m/2)^2) == exp(-2*n*m^2), the exact bound the
+        # disable check above enforces — so the cutoff moves from
+        # threshold-m to threshold-m/2 and the exact-verify set shrinks
+        # by orders of magnitude on high-baseline-similarity corpora
+        # (5.4M -> ~10k pairs at sf1.0). Components ship as a packed
+        # low-byte-per-component binary sketch (keep-superset
+        # compression: byte equality is necessary for component
+        # equality, so the byte estimate >= the true estimate and can
+        # only keep MORE pairs — the exact verify still decides).
+        # The distinct runs AFTER this filter (see _raw_bucket_pairs).
+        n_est = 4 * n_hashes
+        bands = kw.get("bands", 16)
+        max_bucket = kw.get("max_bucket", 200)
+        sp = _minhash_sigs_packed(
+            df, text_col, id_col, n_hashes, k, seed, n_extra=3 * n_hashes
         ).localCheckpoint(eager=False)
-    cands = minhash_lsh_candidates(df, _sigs=sigs, **kw)
-    if cutoff > 0.0:
-        est = F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
-        ) / F.lit(float(n_hashes))
-        cands = (
-            cands
-            .join(sigs.select(F.col("id").alias("a"),
-                              F.col("sig").alias("sig_a")), "a")
-            .join(sigs.select(F.col("id").alias("b"),
-                              F.col("sig").alias("sig_b")), "b")
-            .filter(est >= cutoff)
-            .select("a", "b")
+        banded = _minhash_banded(
+            df, text_col, id_col, n_hashes, bands, k, seed,
+            _sigs=sp.select("id", "sig"),
         )
-    sims = jaccard_similarity(cands, df, text_col, id_col, k)
+        matches = _byte_match_udf(n_est)
+        byte_cutoff = max(threshold - estimate_margin / 2.0, 0.0)
+        cands = (
+            _raw_bucket_pairs(banded, max_bucket)
+            .join(sp.select(F.col("id").alias("a"),
+                            F.col("p").alias("p_a")), "a")
+            .join(sp.select(F.col("id").alias("b"),
+                            F.col("p").alias("p_b")), "b")
+            .filter(
+                (matches(F.col("p_a"), F.col("p_b"))
+                 / F.lit(float(n_est))) >= byte_cutoff
+            )
+            .select("a", "b")
+            .distinct()
+        )
+    else:
+        cands = minhash_lsh_candidates(df, **kw)
+    # verify CANDIDATES only: materialize the (small) surviving pair set
+    # once, then cut the corpus down to the ids it mentions before the
+    # exact-Jaccard shingle computation. Without this the verify stage
+    # shingles the WHOLE corpus twice (once per join side) — guide §3.2's
+    # semi-join shape, round-6 measurement: the corpus-wide verify scans
+    # were ~42s of minhash_neardup at sf1.0 for a few hundred surviving
+    # candidates. localCheckpoint keeps the big candidate plan from
+    # executing once per downstream use (ids + the verify join itself).
+    cands = cands.localCheckpoint(eager=False)
+    cand_ids = cands.select(
+        F.explode(F.array("a", "b")).alias(id_col)
+    ).distinct()
+    docs_needed = df.join(cand_ids, id_col, "leftsemi")
+    sims = jaccard_similarity(cands, docs_needed, text_col, id_col, k)
     return sims.filter(F.col("jaccard") >= threshold)
 
 
@@ -421,41 +609,86 @@ def simhash(df: DataFrame, text_col: str = "text",
 def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
                       n_blocks: int = 4) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance, blocked on 16-bit
-    chunks (a pair within distance d < n_blocks shares >= one exact block
-    — pigeonhole), so no quadratic comparison."""
-    sh = simhash(df, text_col, id_col).withColumnRenamed(id_col, "id")
-    width = 64 // n_blocks
-    blocked = sh.select(
-        "id", "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("blk"),
-                    F.shiftrightunsigned("simhash", i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("key"),
-                )
-                for i in range(n_blocks)
-            ])
-        ).alias("b"),
-    ).select("id", "simhash", "b.blk", "b.key")
+    """Near-dup pairs by simhash Hamming distance, blocked so no
+    quadratic comparison ever happens.
+
+    When ``max_hamming < n_blocks`` (the guaranteed-recall regime) the
+    blocking is MULTI-INDEX: the 64 bits split into m = max_hamming + 2
+    blocks, and candidates must agree on an exact PAIR of blocks (all
+    C(m, 2) pairs are probed). Pigeonhole: d <= max_hamming bit flips
+    damage at most max_hamming blocks, leaving >= 2 intact, so every
+    true pair shares at least one probed block pair — recall identical
+    to the single-block scheme, but the join key is ~2*64/m bits instead
+    of 64/n_blocks. At 2M docs the 16-bit single-block keys generated
+    n^2/2^17-per-block random collisions (~122M candidate rows, 180s at
+    sf1.0); the ~26-bit pair keys cut that ~4000x (round-6 measurement).
+    The Hamming filter runs BEFORE the distinct so the distinct sees
+    only true pairs, not the collision stream.
+
+    When ``max_hamming >= n_blocks`` the original single-block probe is
+    kept (same partial-recall contract as before: only pairs sharing
+    one exact 64/n_blocks-bit block are found)."""
+    sh = simhash(
+        _spread_if_narrow(df), text_col, id_col
+    ).withColumnRenamed(id_col, "id")
+    if max_hamming < n_blocks:
+        m = max_hamming + 2
+        widths = [64 // m + (1 if i < 64 % m else 0) for i in range(m)]
+        offs = [sum(widths[:i]) for i in range(m)]
+
+        def blk(i: int) -> Column:
+            return (
+                F.shiftrightunsigned("simhash", offs[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            )
+
+        combos = [(i, j) for i in range(m) for j in range(i + 1, m)]
+        blocked = sh.select(
+            "id", "simhash",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("blk"),
+                        blk(i).alias("key"),
+                        blk(j).alias("key2"),
+                    )
+                    for c, (i, j) in enumerate(combos)
+                ])
+            ).alias("b"),
+        ).select("id", "simhash", "b.blk", "b.key", "b.key2")
+        keys = ["blk", "key", "key2"]
+    else:
+        width = 64 // n_blocks
+        blocked = sh.select(
+            "id", "simhash",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_blocks)
+                ])
+            ).alias("b"),
+        ).select("id", "simhash", "b.blk", "b.key")
+        keys = ["blk", "key"]
     left = blocked.select(
-        "blk", "key", F.col("id").alias("a"), F.col("simhash").alias("sh_a")
+        *keys, F.col("id").alias("a"), F.col("simhash").alias("sh_a")
     )
     right = blocked.select(
-        "blk", "key", F.col("id").alias("b"), F.col("simhash").alias("sh_b")
+        *keys, F.col("id").alias("b"), F.col("simhash").alias("sh_b")
     )
     pairs = (
-        left.join(right, ["blk", "key"])
+        left.join(right, keys)
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "sh_a", "sh_b")
-        .distinct()
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()
     )
     return pairs
 
@@ -592,8 +825,13 @@ def star_contraction_components(
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    if checkpoint_dir is None:
+        all_nodes = all_nodes.localCheckpoint(eager=False)
+    # durable mode: leave all_nodes UNCUT — it chains to the pinned
+    # edges spill, so it stays recomputable after executor loss, whereas
+    # a localCheckpoint here would silently defeat the durability this
+    # mode exists for (round-5 ADVICE finding)
 
     prev_sig = None
     prev_edges = None
