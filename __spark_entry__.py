@@ -644,14 +644,14 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id", TS.fingerprint_md5("text").alias("fingerprint")
     )
 
 
 def q_token_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id",
         TS.whitespace_token_count("text").cast("bigint").alias("n_tokens"),
@@ -660,7 +660,7 @@ def q_token_counts(spark, sf_dir):
 
 
 def q_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id",
         TS.stopword_count("text").cast("bigint").alias("stopwords"),
@@ -681,7 +681,7 @@ def q_document_stats(spark, sf_dir):
     DuckDB rounds the BINARY value, so any value whose shortest repr
     ends in ...5 at the 5th place diverges (hit on row 492 of sf0.01);
     floor of the identical product is deterministic."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     stats = TS.document_stats(docs)
     return stats.select(
         "doc_id",
@@ -699,7 +699,7 @@ def q_document_stats(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"), spark)
     return docs.select("doc_id", TS.lang_id("text").alias("lang_pred"))
 
 

@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _spread_if_narrow
+
 
 def _vec(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -52,9 +54,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, vec_id, cosine, rank).
 
-    The query side is broadcast — the corpus never shuffles. Ties broken
-    deterministically by vec_id."""
-    c = corpus.select(
+    The query side is broadcast — the corpus never shuffles (a narrow
+    single-file corpus scan is fanned out first so the score loop uses
+    every core). Ties broken deterministically by vec_id."""
+    c = _spread_if_narrow(corpus).select(
         F.col(id_col).alias("vec_id"), _vec(vec_col).alias("v")
     )
     q = queries.select(
@@ -267,7 +270,9 @@ def embedding_near_dups(
     # hoist the to-double cast: the signature's 64 dot folds and the
     # verify stage all reference ONE materialized "v" instead of
     # re-running the cast transform per fold (CodegenFallback, no CSE)
-    pre = df.select(F.col(id_col).alias("id"), _vec(vec_col).alias("v"))
+    pre = _spread_if_narrow(df).select(
+        F.col(id_col).alias("id"), _vec(vec_col).alias("v")
+    )
     sig = rh_signature("v", dim, n_bits, seed, cast=False)
     base = pre.select("id", "v", sig.alias("sig"))
     blocked = base.select(
@@ -327,7 +332,7 @@ def ivf_topk(
     training aggregates floats in partition order, so its centroids can
     differ in final bits across runs)."""
     if centroids is not None:
-        c = corpus.select(
+        c = _spread_if_narrow(corpus).select(
             F.col(id_col).alias("vec_id"), _vec(vec_col).alias("v")
         )
         dist_structs = F.array(*[
@@ -353,7 +358,7 @@ def ivf_topk(
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        c = corpus.select(
+        c = _spread_if_narrow(corpus).select(
             F.col(id_col).alias("vec_id"), _vec(vec_col).alias("v")
         ).withColumn("features", array_to_vector("v"))
         train = c
@@ -437,7 +442,7 @@ def lsh_topk(
             ).alias("b"),
         ).select(name, f"v_{name}", "b.blk", "b.key")
 
-    cb = blocked(corpus, id_col, "vec_id")
+    cb = blocked(_spread_if_narrow(corpus), id_col, "vec_id")
     qb = blocked(queries, query_id_col, "query_id")
     cands = cb.join(F.broadcast(qb), ["blk", "key"]).select(
         "query_id", "vec_id", "v_vec_id", "v_query_id"
