@@ -89,13 +89,26 @@ def _spread(df, spark):
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+def _spread_events(spark, sf_dir):
+    """Events columns fanned out BEFORE line construction: the testdata
+    table is one file/one row group, so a construct-then-repartition plan
+    builds (and round-robin pre-sorts) every line in the single scan task
+    and shuffles the long strings; spreading the three narrow source
+    columns first parallelizes the concat and shuffles ~4x fewer bytes
+    (round-6, guide §2.3 "project before the exchange")."""
+    return _spread(
+        _t(spark, sf_dir, "events").select("event_id", "user_id",
+                                           "event_type"),
+        spark,
+    )
+
+
 def _rfc_lines_df(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return _spread(ev.select(
+    return _spread_events(spark, sf_dir).select(
         F.col("event_id").cast("string").alias("doc_id"),
         F.expr(_RFC_LINE_SPARK).alias("line"),
         F.lit("rfc5424").alias("source"),
-    ), spark)
+    )
 
 
 def _parse_rfc(spark, sf_dir):
@@ -174,7 +187,10 @@ def q_parse_rfc5424_data(spark, sf_dir):
 
 
 def q_parse_timestamps(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
+    o = _spread(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        spark,
+    )
     lines = o.select(
         F.col("o_orderkey").cast("string").alias("doc_id"),
         F.concat(
@@ -184,7 +200,7 @@ def q_parse_timestamps(spark, sf_dir):
         ).alias("line"),
         F.lit("rfc5424").alias("source"),
     )
-    p = parse_lines(_spread(lines, spark))
+    p = parse_lines(lines)
     return p.select(
         "doc_id",
         F.col("ts_micros").alias("ts_micros"),
@@ -193,18 +209,17 @@ def q_parse_timestamps(spark, sf_dir):
 
 
 def q_parse_nginx_access(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
     line = (
         "concat('<190>Oct  5 12:05:15 host', cast(pmod(user_id, 50) as int), "
         "' nginx: [request status=\"', cast(pmod(event_id, 600) as int), "
         "'\" bytes=\"', cast(pmod(event_id, 5000) as int), '\"]')"
     )
-    lines = ev.select(
+    lines = _spread_events(spark, sf_dir).select(
         F.col("event_id").cast("string").alias("doc_id"),
         F.expr(line).alias("line"),
         F.lit("nginx_access").alias("source"),
     )
-    p = parse_lines(_spread(lines, spark))
+    p = parse_lines(lines)
     params = F.col("data")[0]["params"]
     return p.select(
         "doc_id",
@@ -221,7 +236,6 @@ def q_parse_nginx_access(spark, sf_dir):
 
 
 def q_parse_nginx_error(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
     line = (
         "concat('<187>Jan  2 03:04:05 h', cast(pmod(user_id, 9) as int), "
         "' nginx: 2024/01/02 03:04:05 [error] fail ev', event_id, "
@@ -229,12 +243,12 @@ def q_parse_nginx_error(spark, sf_dir):
         "', server: srv', cast(pmod(event_id, 7) as int), "
         "', request: \"GET /', event_type, ' HTTP/1.1\"')"
     )
-    lines = ev.select(
+    lines = _spread_events(spark, sf_dir).select(
         F.col("event_id").cast("string").alias("doc_id"),
         F.expr(line).alias("line"),
         F.lit("nginx_error").alias("source"),
     )
-    p = parse_lines(_spread(lines, spark))
+    p = parse_lines(lines)
     params = F.col("data")[0]["params"]
 
     def param(k):
@@ -249,19 +263,18 @@ def q_parse_nginx_error(spark, sf_dir):
 
 
 def q_serialize_roundtrip(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
     line = (
         "concat('<', cast(pmod(event_id, 192) as int), "
         "'>1 2024-03-01T12:30:45+02:00 host', cast(pmod(user_id, 50) as int), "
         "' app p', cast(pmod(event_id, 97) as int), "
         "' m [meta k=\"', event_type, '\"] ev', event_id)"
     )
-    lines = ev.select(
+    lines = _spread_events(spark, sf_dir).select(
         F.col("event_id").cast("string").alias("doc_id"),
         F.expr(line).alias("line"),
         F.lit("rfc5424").alias("source"),
     )
-    p = with_canonical(parse_lines(_spread(lines, spark), keep_raw=True))
+    p = with_canonical(parse_lines(lines, keep_raw=True))
     return p.select(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("canonical") == F.col("raw"), 1)).alias(
@@ -271,17 +284,16 @@ def q_serialize_roundtrip(spark, sf_dir):
 
 
 def q_error_sink(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
     line = (
         "case when event_id % 7 = 0 then concat('<> ev', event_id) "
         f"else {_RFC_LINE_SPARK} end"
     )
-    lines = ev.select(
+    lines = _spread_events(spark, sf_dir).select(
         F.col("event_id").cast("string").alias("doc_id"),
         F.expr(line).alias("line"),
         F.lit("rfc5424").alias("source"),
     )
-    p = parse_lines(_spread(lines, spark))
+    p = parse_lines(lines)
     return p.select(
         "doc_id", "error_msg",
         F.col("error_column").cast("bigint").alias("error_column"),
@@ -291,7 +303,6 @@ def q_error_sink(spark, sf_dir):
 def q_error_classes(spark, sf_dir):
     """Six malformed-input classes with reference-exact error strings
     (parsers_test.go tables, in-pipeline columns)."""
-    ev = _t(spark, sf_dir, "events")
     line = (
         "case pmod(event_id, 6) "
         "when 0 then concat('<> ev', event_id) "
@@ -301,12 +312,12 @@ def q_error_classes(spark, sf_dir):
         "when 4 then concat('<1>1 BAD-TIMESTAMP h a p m - ev', event_id) "
         f"else {_RFC_LINE_SPARK} end"
     )
-    lines = ev.select(
+    lines = _spread_events(spark, sf_dir).select(
         F.col("event_id").cast("string").alias("doc_id"),
         F.expr(line).alias("line"),
         F.lit("rfc5424").alias("source"),
     )
-    p = parse_lines(_spread(lines, spark))
+    p = parse_lines(lines)
     return p.select(
         "doc_id", "error_msg",
         F.col("error_column").cast("bigint").alias("error_column"),
@@ -1106,7 +1117,6 @@ def q_parse_rfc5424_hard(spark, sf_dir):
     (parsers.go:205), year-3000 nano timestamp, the implicit-fraction
     '.ddddZ' timestamp form, BOM-stripped message (non-ASCII -> exercises
     the oracle path), empty SD block at end-of-line."""
-    ev = _t(spark, sf_dir, "events")
     h = "cast(pmod(user_id, 9) as int)"
     e = "cast(event_id as string)"
     line = (
@@ -1120,12 +1130,12 @@ def q_parse_rfc5424_hard(spark, sf_dir):
         f"else concat('<191>1 - h', {h}, ' app - - [dd a=\"1\"][dd b=\"2\"] x ev', {e}) "
         f"end"
     )
-    lines = ev.select(
+    lines = _spread_events(spark, sf_dir).select(
         F.col("event_id").cast("string").alias("doc_id"),
         F.expr(line).alias("line"),
         F.lit("rfc5424").alias("source"),
     )
-    p = with_canonical(parse_lines(_spread(lines, spark)))
+    p = with_canonical(parse_lines(lines))
     return p.select("doc_id", "canonical")
 
 
