@@ -770,7 +770,11 @@ _TEXT_PERM = "concat_ws(' ', " + ", ".join(reversed(_PAIR_WORDS)) + ", 'tailz')"
 
 
 def _pair_docs(spark, sf_dir, text_b_expr):
-    ev = _t(spark, sf_dir, "events")
+    # spread the bare key BEFORE the 8-md5 text synthesis (same
+    # project-above-the-exchange shape as _spread_events): the
+    # single-file events scan would otherwise synthesize the whole
+    # corpus in one task per union branch and shuffle the built strings
+    ev = _spread(_t(spark, sf_dir, "events").select("event_id"), spark)
     a = ev.select(
         F.concat(F.lit("a-"), F.col("event_id")).alias("doc_id"),
         F.expr(_TEXT_A).alias("text"),
