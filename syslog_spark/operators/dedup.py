@@ -592,17 +592,28 @@ def _simhash_fold_batch(hashes: pd.Series) -> pd.Series:
 
 def simhash(df: DataFrame, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """64-bit simhash: JVM tokenization+hashing, numpy bit-vote fold."""
+    """64-bit simhash: JVM tokenization+hashing, numpy bit-vote fold.
+
+    The fold UDF is marked non-deterministic as an OPTIMIZER FENCE (it
+    is in fact deterministic): downstream join-key null filters
+    otherwise get pushed below the projection and the current optimizer
+    duplicates the UDF around the pushed filter — the guide-§4.4
+    two-BatchEvalPython shape. Round-6 measurement: the blocked join's
+    isnotnull(key) pushdown made every simhash_near_dups branch fold
+    the whole corpus TWICE (eight ArrowEvalPython nodes in the plan,
+    two per union-branch per join side; one each after the fence)."""
 
     @F.pandas_udf(T.LongType())
     def _fold(hashes: pd.Series) -> pd.Series:
         return _simhash_fold_batch(hashes)
 
+    _fold_fenced = _fold.asNondeterministic()
+
     token_hashes = F.transform(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
     )
     return df.select(
-        F.col(id_col), _fold(token_hashes).alias("simhash")
+        F.col(id_col), _fold_fenced(token_hashes).alias("simhash")
     )
 
 
@@ -628,9 +639,13 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
     When ``max_hamming >= n_blocks`` the original single-block probe is
     kept (same partial-recall contract as before: only pairs sharing
     one exact 64/n_blocks-bit block are found)."""
+    # materialize (id, simhash) once: the blocked self-join references
+    # the frame on BOTH sides, and without the cut each side would
+    # re-run the corpus scan + fold (the same shape the minhash path
+    # checkpoints its signature frame for)
     sh = simhash(
         _spread_if_narrow(df), text_col, id_col
-    ).withColumnRenamed(id_col, "id")
+    ).withColumnRenamed(id_col, "id").localCheckpoint(eager=False)
     if max_hamming < n_blocks:
         m = max_hamming + 2
         widths = [64 // m + (1 if i < 64 % m else 0) for i in range(m)]
