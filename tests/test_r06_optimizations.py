@@ -1,0 +1,155 @@
+"""Round-6 optimization equivalence tests.
+
+Each round-6 rewrite claims RESULT-IDENTITY with the shape it replaced;
+these tests pin that claim directly (the oracle gates pin it end-to-end).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from syslog_spark.session import build_session
+
+    s = build_session(
+        app_name="test_r06", master="local[4]", shuffle_partitions=4,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    yield s
+    s.stop()
+
+
+def _random_docs(n=40, seed=7):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        words = [
+            "".join(rng.choice(list("abcdefgh"), size=rng.randint(3, 9)))
+            for _ in range(rng.randint(1, 12))
+        ]
+        rows.append((f"d{i}", " ".join(words)))
+    return rows
+
+
+def test_numpy_signature_bit_identical_to_catalyst(spark):
+    """_signature_batch_udf must return the EXACT values of the Catalyst
+    fold chain (same coefficients, same mod arithmetic), including the
+    all-NULL signature for NULL text."""
+    from syslog_spark.operators.dedup import (
+        _signature_batch_udf, _signature_from_hashes, shingle_hashes,
+    )
+
+    rows = _random_docs(30) + [("dnull", None), ("dempty", "")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    hashes = df.select(
+        "doc_id", shingle_hashes("text", 5).alias("_sh")
+    )
+    udf_sig = _signature_batch_udf(16, seed=42)
+    got = {
+        r["doc_id"]: r["s"]
+        for r in hashes.select(
+            "doc_id", udf_sig(F.col("_sh")).alias("s")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["s"]
+        for r in hashes.select(
+            "doc_id",
+            _signature_from_hashes(F.col("_sh"), 16, seed=42).alias("s"),
+        ).collect()
+    }
+    assert got == want
+    # NULL text never yields a NULL hash array in Catalyst (substr(NULL)
+    # -> [NULL] -> xxhash64(NULL) = seed), and the UDF matches that too
+    assert "dnull" in got and "dempty" in got
+
+
+def test_packed_sketch_prefix_matches_signature(spark):
+    """The packed estimate sketch's first n_hashes bytes must be the low
+    bytes of the exact signature (the keep-superset compression claim
+    rests on byte equality being NECESSARY for component equality)."""
+    from syslog_spark.operators.dedup import (
+        _minhash_sigs_packed,
+    )
+
+    df = spark.createDataFrame(_random_docs(20), "doc_id string, text string")
+    out = _minhash_sigs_packed(df, "text", "doc_id", 8, 5, 42, n_extra=24)
+    for r in out.collect():
+        assert len(r["p"]) == 32
+        assert list(r["p"][:8]) == [v & 0xFF for v in r["sig"]]
+
+
+def test_byte_match_udf_counts(spark):
+    from syslog_spark.operators.dedup import _byte_match_udf
+
+    rows = [
+        (bytes([1, 2, 3, 4]), bytes([1, 9, 3, 9]), 2),
+        (bytes([0, 0, 0, 0]), bytes([0, 0, 0, 0]), 4),
+        (bytes([5, 6, 7, 8]), bytes([9, 10, 11, 12]), 0),
+        (None, bytes([1, 2, 3, 4]), None),
+    ]
+    df = spark.createDataFrame(
+        [(a, b, w) for a, b, w in rows], "pa binary, pb binary, want long"
+    )
+    m = _byte_match_udf(4)
+    got = df.select(m("pa", "pb").alias("got"), "want").collect()
+    for r in got:
+        assert r["got"] == r["want"]
+
+
+def test_simhash_multi_index_equals_all_pairs(spark):
+    """The multi-index blocking (max_hamming < n_blocks) must return
+    EXACTLY the pairs an all-pairs Hamming filter finds — the pigeonhole
+    recall argument, executed."""
+    from syslog_spark.operators.dedup import simhash, simhash_near_dups
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(30):
+        words = [
+            "".join(rng.choice(list("xyzw"), size=4)) for _ in range(6)
+        ]
+        rows.append((f"d{i}", " ".join(words)))
+        if i < 8:  # permuted twin => hamming 0
+            rng.shuffle(words)
+            rows.append((f"p{i}", " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    got = {
+        (r["a"], r["b"])
+        for r in simhash_near_dups(df, max_hamming=3).collect()
+    }
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    ids = sorted(sh)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert got == want
+    assert len(want) >= 8  # the planted twins are all found
+
+
+def test_minhash_prefilter_keeps_planted_pair(spark):
+    """End-to-end: a high-Jaccard planted pair must survive the packed
+    prefilter + semi-joined verify (output identity with the old path is
+    pinned corpus-wide by the minhash_neardup / dedup_pipeline gates)."""
+    from syslog_spark.operators.dedup import near_duplicates_minhash
+
+    rows = _random_docs(25, seed=11)
+    rows.append(("twin", rows[0][1] + " zz"))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {
+        (r["a"], r["b"])
+        for r in near_duplicates_minhash(
+            df, threshold=0.6, bands=32, n_hashes=64
+        ).collect()
+    }
+    assert ("d0", "twin") in pairs
