@@ -5,24 +5,12 @@ these tests pin that claim directly (the oracle gates pin it end-to-end).
 """
 
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
-
-@pytest.fixture(scope="module")
-def spark():
-    import sys
-    from pathlib import Path
-
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-    from syslog_spark.session import build_session
-
-    s = build_session(
-        app_name="test_r06", master="local[4]", shuffle_partitions=4,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
-    yield s
-    s.stop()
+# uses the session-scoped `spark` fixture from conftest.py: a local
+# module fixture that build_session()s would getOrCreate() the SAME
+# underlying session and then stop() it at module teardown, killing the
+# shared context for every test file sorted after this one.
 
 
 def _random_docs(n=40, seed=7):
