@@ -257,23 +257,41 @@ def minhash_lsh_candidates(
     return _raw_bucket_pairs(banded, max_bucket).distinct()
 
 
-def _raw_bucket_pairs(banded: DataFrame, max_bucket: int) -> DataFrame:
+def _raw_bucket_pairs(
+    banded: DataFrame, max_bucket: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """(a, b) in-bucket pairs, WITHOUT the cross-band distinct — callers
     that run a cheap per-pair prefilter next (the packed-estimate join)
     apply it BEFORE deduplicating, so the distinct's hash aggregate sees
     the (small) survivor set instead of the raw near-quadratic candidate
-    stream (44M-row distinct was 44s at sf1.0; post-filter it is ~2s)."""
+    stream (44M-row distinct was 44s at sf1.0; post-filter it is ~2s).
+
+    ``carry`` columns ride through the self-join and come out twice as
+    ``<c>_a`` / ``<c>_b`` — shipping a per-doc payload through the
+    blocking join (one exchange of n_docs * bands rows) instead of
+    joining it onto the near-quadratic pair stream afterwards (two
+    shuffles + sorts of the pair stream keyed by a then b — guide §2.3:
+    shuffle the small side once, not the big stream twice)."""
     w = Window.partitionBy("band", "bucket").orderBy("id")
     capped = (
         banded.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_bucket)
     )
-    left = capped.select("band", "bucket", F.col("id").alias("a"))
-    right = capped.select("band", "bucket", F.col("id").alias("b"))
+    left = capped.select(
+        "band", "bucket", F.col("id").alias("a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+    )
+    right = capped.select(
+        "band", "bucket", F.col("id").alias("b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    )
     return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        .select(
+            "a", "b",
+            *[f"{c}_a" for c in carry], *[f"{c}_b" for c in carry],
+        )
     )
 
 
@@ -341,11 +359,15 @@ def _byte_match_udf(n_bytes: int):
 
 
 def _minhash_banded(df, text_col, id_col, n_hashes, bands, k, seed,
-                    _sigs: DataFrame | None = None):
-    """(id, band, bucket) exploded banding rows (shared by candidates +
-    stats). ``_sigs`` reuses an already-built (id, sig) frame so a
-    caller that ALSO needs the signatures (the estimate prefilter) does
-    not pay the corpus signature scan twice."""
+                    _sigs: DataFrame | None = None,
+                    carry: tuple[str, ...] = ()):
+    """(id, band, bucket[, carry...]) exploded banding rows (shared by
+    candidates + stats). ``_sigs`` reuses an already-built (id, sig)
+    frame so a caller that ALSO needs the signatures (the estimate
+    prefilter) does not pay the corpus signature scan twice. ``carry``
+    names extra ``_sigs`` columns to keep on the exploded rows (the
+    prefilter rides its packed sketch through the blocking join instead
+    of joining it onto the pair stream)."""
     rows_per_band = n_hashes // bands
     sigs = (
         _sigs if _sigs is not None
@@ -353,6 +375,7 @@ def _minhash_banded(df, text_col, id_col, n_hashes, bands, k, seed,
     )
     return sigs.select(
         "id",
+        *carry,
         F.explode(
             F.array(*[
                 F.struct(
@@ -364,7 +387,7 @@ def _minhash_banded(df, text_col, id_col, n_hashes, bands, k, seed,
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    ).select("id", *carry, "bb.band", "bb.bucket")
 
 
 def lsh_bucket_stats(
@@ -472,18 +495,19 @@ def near_duplicates_minhash(
         sp = _minhash_sigs_packed(
             df, text_col, id_col, n_hashes, k, seed, n_extra=3 * n_hashes
         ).localCheckpoint(eager=False)
+        # the packed sketch RIDES the banding explode and the bucket
+        # self-join (one exchange of n_docs*bands ~300-byte rows) instead
+        # of being joined onto the near-quadratic raw-pair stream (which
+        # cost two full shuffles + sorts of the ~47M-row stream at
+        # sf1.0, keyed by a then by b — guide §2.3/§3.2)
         banded = _minhash_banded(
             df, text_col, id_col, n_hashes, bands, k, seed,
-            _sigs=sp.select("id", "sig"),
+            _sigs=sp.select("id", "sig", "p"), carry=("p",),
         )
         matches = _byte_match_udf(n_est)
         byte_cutoff = max(threshold - estimate_margin / 2.0, 0.0)
         cands = (
-            _raw_bucket_pairs(banded, max_bucket)
-            .join(sp.select(F.col("id").alias("a"),
-                            F.col("p").alias("p_a")), "a")
-            .join(sp.select(F.col("id").alias("b"),
-                            F.col("p").alias("p_b")), "b")
+            _raw_bucket_pairs(banded, max_bucket, carry=("p",))
             .filter(
                 (matches(F.col("p_a"), F.col("p_b"))
                  / F.lit(float(n_est))) >= byte_cutoff
@@ -672,6 +696,33 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
             ).alias("b"),
         ).select("id", "simhash", "b.blk", "b.key", "b.key2")
         keys = ["blk", "key", "key2"]
+
+        def _minimal_probe(xor_col: Column) -> Column:
+            # Dedup-at-source (round 6): a pair whose agreeing-block set
+            # is S matches EVERY probed combo (i, j) with i, j in S, so
+            # each true pair came out of the join |S| choose 2 times and
+            # only the .distinct() collapsed them (10M -> 1M rows at
+            # sf1.0, 3-7s of hash aggregate). Keep a row only when its
+            # combo is the MINIMAL agreeing pair (min S, second-min S):
+            # every block below i and every block strictly between i
+            # and j must DISAGREE. Exactly one combo per pair survives
+            # (blocks i/j agree by join-key construction), so the
+            # distinct input is already pair-unique — pure int64
+            # bitwise ops, no extra shuffle.
+            def disagree(b: int) -> Column:
+                return (
+                    F.shiftrightunsigned(xor_col, offs[b])
+                    .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                    != 0
+                )
+
+            expr = F.lit(False)
+            for c, (i, j) in enumerate(combos):
+                cond = F.lit(True)
+                for b in list(range(i)) + list(range(i + 1, j)):
+                    cond = cond & disagree(b)
+                expr = F.when(F.col("blk") == c, cond).otherwise(expr)
+            return expr
     else:
         width = 64 // n_blocks
         blocked = sh.select(
@@ -689,18 +740,37 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3,
             ).alias("b"),
         ).select("id", "simhash", "b.blk", "b.key")
         keys = ["blk", "key"]
+
+        def _minimal_probe(xor_col: Column) -> Column:
+            # same dedup-at-source as the multi-index branch: keep only
+            # the row probed on the LOWEST agreeing block (all blocks
+            # below it must disagree)
+            def disagree(b: int) -> Column:
+                return (
+                    F.shiftrightunsigned(xor_col, b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    != 0
+                )
+
+            expr = F.lit(False)
+            for i in range(n_blocks):
+                cond = F.lit(True)
+                for b in range(i):
+                    cond = cond & disagree(b)
+                expr = F.when(F.col("blk") == i, cond).otherwise(expr)
+            return expr
     left = blocked.select(
         *keys, F.col("id").alias("a"), F.col("simhash").alias("sh_a")
     )
     right = blocked.select(
         *keys, F.col("id").alias("b"), F.col("simhash").alias("sh_b")
     )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
     pairs = (
         left.join(right, keys)
         .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-        )
+        .filter(_minimal_probe(xor))
+        .withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
         .distinct()

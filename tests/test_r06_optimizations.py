@@ -141,3 +141,73 @@ def test_minhash_prefilter_keeps_planted_pair(spark):
         ).collect()
     }
     assert ("d0", "twin") in pairs
+
+def test_simhash_legacy_branch_minimal_probe(spark):
+    """The single-block branch (max_hamming >= n_blocks) with the
+    minimal-probe dedup filter still returns exactly the pairs sharing
+    >= 1 exact block with hamming <= h, each pair once — including pairs
+    agreeing on MULTIPLE blocks (which the filter must emit exactly once
+    via the lowest agreeing block)."""
+    from syslog_spark.operators.dedup import simhash, simhash_near_dups
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(24):
+        words = ["".join(rng.choice(list("qrst"), size=4)) for _ in range(5)]
+        rows.append((f"d{i}", " ".join(words)))
+        if i < 6:  # identical twin: ALL blocks agree (multi-agreement)
+            rows.append((f"t{i}", " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    out = simhash_near_dups(df, max_hamming=8, n_blocks=4).collect()
+    got = [(r["a"], r["b"]) for r in out]
+    assert len(got) == len(set(got))  # each pair exactly once
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    ids = sorted(sh)
+    width = 16
+
+    def share_block(x, y):
+        return any(
+            ((x >> (i * width)) & 0xFFFF) == ((y >> (i * width)) & 0xFFFF)
+            for i in range(4)
+        )
+
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if share_block(sh[a], sh[b])
+        and bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    assert set(got) == want
+    assert len(want) >= 6  # planted identical twins all found
+
+
+def test_raw_bucket_pairs_carry_matches_join(spark):
+    """Carrying a payload column through the blocking self-join must
+    yield exactly the (a, b, payload_a, payload_b) rows the old
+    join-onto-the-pair-stream shape produced."""
+    from syslog_spark.operators.dedup import _raw_bucket_pairs
+
+    rows = [
+        ("id%02d" % i, i % 3, (i * 7) % 5, ("pay%02d" % i).encode())
+        for i in range(30)
+    ]
+    banded = spark.createDataFrame(
+        rows, "id string, band int, bucket int, p binary"
+    )
+    new = {
+        (r["a"], r["b"], bytes(r["p_a"]), bytes(r["p_b"]))
+        for r in _raw_bucket_pairs(banded, 200, carry=("p",)).collect()
+    }
+    base = _raw_bucket_pairs(banded.select("id", "band", "bucket"), 200)
+    payload = banded.select("id", "p")
+    old = {
+        (r["a"], r["b"], bytes(r["p_a"]), bytes(r["p_b"]))
+        for r in base.join(
+            payload.select(F.col("id").alias("a"), F.col("p").alias("p_a")), "a"
+        ).join(
+            payload.select(F.col("id").alias("b"), F.col("p").alias("p_b")), "b"
+        ).collect()
+    }
+    assert new == old and len(new) > 0
