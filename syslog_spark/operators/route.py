@@ -218,19 +218,27 @@ def _clear_stale_temporary(spark, table_path: str) -> bool:
     it). The resume protocol is single-writer per out_dir (the manifest
     anti-join already requires that), so any pre-existing _temporary is
     garbage by definition. Resolved through the Hadoop FS of the path's
-    own scheme, like :func:`table_exists`."""
-    try:
-        jvm = spark.sparkContext._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_temporary")
-        fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
-            fs.delete(jpath, True)
-            return True
-    except Exception:
-        if "://" in table_path:
-            # same fail-closed stance as table_exists: on a remote store
-            # a silent skip would reintroduce the double-write
-            raise
+    own scheme, like :func:`table_exists`.
+
+    Fail-closed EVERYWHERE (round-6, advice fix): a failed delete of a
+    directory we just confirmed exists precedes a v1-committer append
+    that would silently absorb the crashed attempt's rows — the local
+    branch used to swallow the error and proceed, reintroducing exactly
+    the double-write this function prevents. Hadoop's ``delete`` also
+    reports failure by RETURN VALUE, not exception; check it."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_temporary")
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        deleted = fs.delete(jpath, True)
+        if not deleted and fs.exists(jpath):
+            raise RuntimeError(
+                f"could not delete stale {table_path}/_temporary; "
+                "resuming over it would double-write the crashed "
+                "attempt's task dirs (v1 job commit merges every task "
+                "dir it finds) — clear it manually and re-run"
+            )
+        return True
     return False
 
 
