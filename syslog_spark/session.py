@@ -45,7 +45,15 @@ def build_session(
             # "A master URL must be set".
             master = inherited_master
     local_jvm = master is not None  # we are the ones starting the JVM
-    if shuffle_partitions is None and local_jvm:
+    # sizing defaults (shuffle partitions from the bracket count,
+    # driver memory) only make sense for local/local-cluster masters; a
+    # MASTER env pointing at a real cluster (spark://, yarn, k8s://)
+    # must keep the cluster's own sizing conf (round-5 ADVICE: the
+    # fall-through used to force shuffle.partitions=32 and 48g driver
+    # memory onto remote masters, contradicting the inherited-conf
+    # policy below)
+    local_sizing = local_jvm and master.startswith("local")
+    if shuffle_partitions is None and local_sizing:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
         shuffle_partitions = int(n) if n.isdigit() else 32
     # one BLAS/OMP thread per python worker — the workers ARE the
@@ -66,9 +74,13 @@ def build_session(
     if local_jvm:
         # driver.memory is only honoured before JVM start; under
         # spark-submit the JVM already exists, so setting it is noise.
-        b = b.master(master).config(
-            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g")
-        )
+        # Only size it for local masters — on a remote master we merely
+        # point the driver at the cluster and leave sizing to its conf.
+        b = b.master(master)
+        if local_sizing:
+            b = b.config(
+                "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g")
+            )
     if shuffle_partitions is not None:
         # on an inherited cluster conf, leave shuffle.partitions to the
         # submitter / AQE unless the caller asked for a specific value

@@ -195,3 +195,46 @@ def test_build_session_respects_real_spark_submit_master(tmp_path):
     got = json.loads(line[6:])
     assert got["configured"] == "local[3]"
     assert got["effective"] == "local[3]"
+
+
+def test_build_session_remote_master_env_leaves_sizing(monkeypatch):
+    """MASTER env pointing at a REAL cluster (spark://...) with no
+    gateway: build_session must start the JVM with that master but must
+    NOT force local sizing conf onto it (round-5 ADVICE: the '[' parse
+    fall-through used to apply shuffle.partitions=32 and a 48g
+    driver.memory, overriding cluster-appropriate conf)."""
+    from syslog_spark import session as S
+
+    monkeypatch.delenv("PYSPARK_GATEWAY_PORT", raising=False)
+    monkeypatch.delenv("PYSPARK_GATEWAY_SECRET", raising=False)
+    monkeypatch.setenv("MASTER", "spark://cluster:7077")
+
+    recorded = {}
+
+    class _Stop(Exception):
+        pass
+
+    class FakeBuilder:
+        def appName(self, *_a):
+            return self
+
+        def config(self, k, v):
+            recorded[k] = v
+            return self
+
+        def master(self, m):
+            recorded["__master__"] = m
+            return self
+
+        def getOrCreate(self):
+            raise _Stop()
+
+    class FakeSparkSession:
+        builder = FakeBuilder()
+
+    monkeypatch.setattr(S, "SparkSession", FakeSparkSession)
+    with pytest.raises(_Stop):
+        S.build_session(app_name="probe_remote")
+    assert recorded["__master__"] == "spark://cluster:7077"
+    assert "spark.sql.shuffle.partitions" not in recorded
+    assert "spark.driver.memory" not in recorded
