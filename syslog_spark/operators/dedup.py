@@ -165,9 +165,16 @@ def _signature_batch_udf(n_hashes: int = 64, seed: int = 42,
     n_total = n_hashes + n_extra
 
     def _fold(hashes: pd.Series):
-        """-> (list indices with data, (rows, n_total) int64 mins)."""
+        """-> (list indices with data, (rows, n_total) int64 mins).
+
+        EMPTY arrays are excluded like NULLs: Catalyst's
+        array_min(transform([], ...)) is NULL per component, and
+        reduceat on an empty segment would silently return the NEXT
+        row's first element (or raise for a trailing empty segment) —
+        unreachable via shingles() today, but this UDF is documented as
+        a general vectorized twin, so match the Catalyst semantics."""
         vals = hashes.to_numpy()
-        idx = [i for i, v in enumerate(vals) if v is not None]
+        idx = [i for i, v in enumerate(vals) if v is not None and len(v)]
         if not idx:
             return idx, None
         arrs = [np.asarray(vals[i], dtype=np.int64) for i in idx]
@@ -458,6 +465,17 @@ def near_duplicates_minhash(
     threshold) disables the prefilter."""
     import math
 
+    _known = {"text_col", "id_col", "k", "n_hashes", "seed", "bands",
+              "max_bucket"}
+    _unknown = set(kw) - _known
+    if _unknown:
+        # the prefilter branch reads kw via .get() and would otherwise
+        # drop a typoed tuning knob on the floor, while the
+        # estimate_margin=None branch forwards **kw and raises — behave
+        # alike on both branches
+        raise TypeError(
+            f"near_duplicates_minhash: unknown keyword(s) {sorted(_unknown)}"
+        )
     text_col = kw.get("text_col", "text")
     id_col = kw.get("id_col", "doc_id")
     k = kw.get("k", 5)

@@ -74,13 +74,18 @@ def build_session(
     if local_jvm:
         # driver.memory is only honoured before JVM start; under
         # spark-submit the JVM already exists, so setting it is noise.
-        # Only size it for local masters — on a remote master we merely
-        # point the driver at the cluster and leave sizing to its conf.
+        # The 48g LOCAL default only applies to local masters — but an
+        # EXPLICIT SPARK_DRIVER_MEM is honoured for remote masters too:
+        # we are still the ones launching the driver JVM here, and the
+        # cluster's conf cannot reach a client-side driver setting in
+        # this launch mode (silently dropping the documented knob would
+        # leave the driver at Spark's 1g default).
         b = b.master(master)
-        if local_sizing:
-            b = b.config(
-                "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g")
-            )
+        driver_mem = os.environ.get(
+            "SPARK_DRIVER_MEM", "48g" if local_sizing else None
+        )
+        if driver_mem:
+            b = b.config("spark.driver.memory", driver_mem)
     if shuffle_partitions is not None:
         # on an inherited cluster conf, leave shuffle.partitions to the
         # submitter / AQE unless the caller asked for a specific value

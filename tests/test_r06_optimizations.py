@@ -211,3 +211,25 @@ def test_raw_bucket_pairs_carry_matches_join(spark):
         ).collect()
     }
     assert new == old and len(new) > 0
+
+
+def test_signature_udf_empty_array_matches_catalyst_null(spark):
+    """An EMPTY hash array must produce all-NULL signature components
+    (Catalyst: array_min(transform([], ...)) is NULL) — and must not
+    corrupt neighbouring rows via reduceat's empty-segment semantics."""
+    from pyspark.sql import types as T
+    from syslog_spark.operators.dedup import _signature_batch_udf
+
+    rows = [("a", [3, 7, 11]), ("b", []), ("c", None), ("d", [5])]
+    df = spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("h", T.ArrayType(T.LongType())),
+        ])
+    )
+    sig = _signature_batch_udf(8, 42)
+    got = {r["id"]: r["s"] for r in df.select("id", sig("h").alias("s")).collect()}
+    assert got["b"] == [None] * 8
+    assert got["c"] == [None] * 8
+    assert all(v is not None for v in got["a"])
+    assert all(v is not None for v in got["d"])

@@ -233,8 +233,19 @@ def test_build_session_remote_master_env_leaves_sizing(monkeypatch):
         builder = FakeBuilder()
 
     monkeypatch.setattr(S, "SparkSession", FakeSparkSession)
+    monkeypatch.delenv("SPARK_DRIVER_MEM", raising=False)
     with pytest.raises(_Stop):
         S.build_session(app_name="probe_remote")
     assert recorded["__master__"] == "spark://cluster:7077"
     assert "spark.sql.shuffle.partitions" not in recorded
     assert "spark.driver.memory" not in recorded
+
+    # an EXPLICIT SPARK_DRIVER_MEM is still honoured on remote masters:
+    # this launch mode starts the driver JVM locally, and the cluster
+    # conf cannot supply a client-side driver setting
+    recorded.clear()
+    monkeypatch.setenv("SPARK_DRIVER_MEM", "7g")
+    with pytest.raises(_Stop):
+        S.build_session(app_name="probe_remote2")
+    assert recorded["spark.driver.memory"] == "7g"
+    assert "spark.sql.shuffle.partitions" not in recorded

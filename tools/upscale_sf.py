@@ -45,6 +45,25 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 
 FIXED = {"region", "nation"}
+# every key column belongs to a key DOMAIN whose offset is derived from
+# the REFERENCED (primary-key) table, so FK and PK sides of a join
+# always shift by the same amount — computing ceil_pow10 per table
+# would silently break referential integrity whenever a table's own FK
+# max and the PK max straddle a power of 10
+KEY_DOMAINS = {
+    "c_custkey": ("customer", "c_custkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
 KEY_COLS = {
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
@@ -55,6 +74,19 @@ KEY_COLS = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
+
+_DOMAIN_OFFSETS: dict[tuple[str, str], int] = {}
+
+
+def domain_offset(col: str) -> int:
+    dom = KEY_DOMAINS[col]
+    if dom not in _DOMAIN_OFFSETS:
+        table, pk = dom
+        _DOMAIN_OFFSETS[dom] = ceil_pow10(
+            pc.max(pq.read_table(f"{SRC}/{table}.parquet", columns=[pk])[pk])
+            .as_py()
+        )
+    return _DOMAIN_OFFSETS[dom]
 
 
 def ceil_pow10(n: int) -> int:
@@ -106,9 +138,7 @@ def upscale_table(name: str, out_dir: str, copies: int) -> None:
         print(f"{name}: fixed dim, {src.num_rows} rows")
         return
     keys = KEY_COLS[name]
-    offsets = {
-        c: ceil_pow10(pc.max(src[c]).as_py()) for c in keys
-    }
+    offsets = {c: domain_offset(c) for c in keys}
     writer = pq.ParquetWriter(out_path, src.schema)
     for k in range(copies):
         cols = {}
